@@ -1,0 +1,418 @@
+"""DMT: SE(3)-equivariant Diffusion Molecule Transformer (data prediction,
+self-conditioning, spectra conditioning).
+
+Dense TPU rewrite of ref models/dmt.py:17-413. The reference runs per-edge
+sparse message passing (PyG scatter) over ``[2, E]`` edge lists; here every
+tensor is padded dense (``[B, N, ·]`` nodes, ``[B, N, N, ·]`` pairs) with
+masks, so every op is a batched matmul or masked reduction — MXU-shaped, no
+scatter, no dynamic shapes, fully jit/scan/shard_map compatible.
+
+Equivariance: coordinates only enter through pairwise differences/distances
+and are updated by mask-weighted sums of normalised difference vectors, with
+per-layer CoM projection — identical math to the reference, so rotation
+equivariance holds exactly (tested in tests/test_dmt.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..utils import masks as M
+from ..utils.registry import register_model
+from .layers import (
+    CondGaussianLayer,
+    CoorsNorm,
+    DenseTransMixLayer,
+    GaussianLayer,
+    LearnedSinusoidalPosEmb,
+    modulate,
+)
+from .specformer import SpecFormer
+
+_GBF_LAYERS = {"GaussianLayer": GaussianLayer, "CondGaussianLayer": CondGaussianLayer}
+
+
+class MultiCondEquiUpdate(nn.Module):
+    """Equivariant coordinate update with time conditioning
+    (dense rewrite of ref models/dmt.py:17-60)."""
+
+    hidden_dim: int
+    edge_dim: int
+    dist_dim: int
+    time_dim: int
+    extra_heads: int
+
+    @nn.compact
+    def __call__(self, h, pos, edge_attr, dist, time_emb, adj_extra, edge_mask):
+        B, N, _ = h.shape
+        # invariant pair input: [h_i, h_j, e_ij, dist_ij]
+        h_i = jnp.broadcast_to(h[:, :, None, :], (B, N, N, h.shape[-1]))
+        h_j = jnp.broadcast_to(h[:, None, :, :], (B, N, N, h.shape[-1]))
+        h_input = jnp.concatenate([h_i, h_j, edge_attr, dist], axis=-1)
+
+        coord_diff = pos[:, :, None, :] - pos[:, None, :, :]  # [B,N,N,3]
+        coord_diff = CoorsNorm(scale_init=1e-2, name="coord_norm")(coord_diff)
+
+        inv = nn.Dense(self.hidden_dim, name="input_lin")(h_input)
+        inv = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ln")(inv)
+        if time_emb is not None:
+            # NB chunk order here is (shift, scale) — ref models/dmt.py:44
+            ss = nn.Dense(self.hidden_dim * 2, name="time_mlp")(nn.silu(time_emb))
+            shift, scale = jnp.split(ss, 2, axis=-1)
+            inv = modulate(inv, shift[:, None, None, :], scale[:, None, None, :])
+        inv = nn.Dense(self.hidden_dim, name="coord_mlp_0")(inv)
+        inv = nn.silu(inv)
+        inv = nn.Dense(1 + self.extra_heads, use_bias=False, name="coord_mlp_1")(inv)
+        inv = jnp.tanh(inv)
+
+        # multi-channel adjacency gating: [1, adj_extra...] mean over channels
+        ones = jnp.ones_like(adj_extra[..., :1])
+        adjs = jnp.concatenate([ones, adj_extra], axis=-1)
+        inv = jnp.mean(inv * adjs, axis=-1, keepdims=True)
+
+        # aggregate over real edges only (ref scatter_add over edge_index[0])
+        trans = coord_diff * inv * edge_mask[..., None]
+        agg = jnp.sum(trans, axis=2)
+        return pos + agg
+
+
+class EquivariantMixBlock(nn.Module):
+    """Equivariant transformer block (dense rewrite of ref models/dmt.py:63-174)."""
+
+    node_dim: int
+    edge_dim: int
+    time_dim: int
+    num_extra_heads: int
+    num_heads: int
+    cond_time: bool = True
+    dist_gbf: bool = True
+    softmax_inf: bool = True
+    mlp_ratio: int = 2
+    dropout: float = 0.0
+    gbf_name: str = "CondGaussianLayer"
+
+    @nn.compact
+    def __call__(
+        self,
+        pos,
+        h,
+        edge_attr,
+        node_mask,
+        edge_mask,
+        extra_heads,
+        node_time_emb=None,
+        edge_time_emb=None,
+        deterministic=True,
+    ):
+        dist_dim = self.edge_dim if self.dist_gbf else 1
+        h_in_node = h
+        h_in_edge = edge_attr
+
+        # re-encode current distances each block (ref :136-139)
+        distance = M.coord2dist_dense(pos)  # [B,N,N,1]
+        if self.dist_gbf:
+            distance = _GBF_LAYERS[self.gbf_name](
+                dist_dim, self.time_dim, name="dist_layer"
+            )(distance, edge_time_emb)
+        edge_attr = nn.Dense(self.edge_dim, name="edge_emb")(
+            jnp.concatenate([distance, edge_attr], axis=-1)
+        )
+
+        ln = lambda name: nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, name=name
+        )
+
+        if self.cond_time:
+            node_mods = jnp.split(
+                nn.Dense(self.node_dim * 6, name="node_time_mlp")(
+                    nn.silu(node_time_emb)
+                ),
+                6,
+                axis=-1,
+            )
+            edge_mods = jnp.split(
+                nn.Dense(self.edge_dim * 6, name="edge_time_mlp")(
+                    nn.silu(edge_time_emb)
+                ),
+                6,
+                axis=-1,
+            )
+            (n_shift_msa, n_scale_msa, n_gate_msa, n_shift_mlp, n_scale_mlp,
+             n_gate_mlp) = [m[:, None, :] for m in node_mods]
+            (e_shift_msa, e_scale_msa, e_gate_msa, e_shift_mlp, e_scale_mlp,
+             e_gate_mlp) = [m[:, None, None, :] for m in edge_mods]
+            h = modulate(ln("norm1_node")(h), n_shift_msa, n_scale_msa)
+            edge_attr = modulate(ln("norm1_edge")(edge_attr), e_shift_msa, e_scale_msa)
+        else:
+            h = ln("norm1_node")(h)
+            edge_attr = ln("norm1_edge")(edge_attr)
+
+        # dense mixed attention (ref TransMixLayer)
+        h_node = DenseTransMixLayer(
+            self.node_dim,
+            self.node_dim // self.num_heads,
+            extra_heads=self.num_extra_heads,
+            heads=self.num_heads,
+            dropout=self.dropout,
+            set_inf=self.softmax_inf,
+            name="attn_mpnn",
+        )(h, edge_attr, extra_heads, edge_mask, deterministic=deterministic)
+
+        # node -> edge update (ref :156-157)
+        h_edge = h_node[:, :, None, :] + h_node[:, None, :, :]
+        h_edge = nn.Dense(self.edge_dim, name="node2edge_lin")(h_edge)
+
+        dropout = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        def ff_node(x):
+            x = dropout(nn.silu(nn.Dense(self.node_dim * self.mlp_ratio, name="ff_linear1")(x)))
+            return dropout(nn.Dense(self.node_dim, name="ff_linear2")(x))
+
+        def ff_edge(x):
+            x = dropout(nn.silu(nn.Dense(self.edge_dim * self.mlp_ratio, name="ff_linear3")(x)))
+            return dropout(nn.Dense(self.edge_dim, name="ff_linear4")(x))
+
+        if self.cond_time:
+            h_node = h_in_node + n_gate_msa * h_node
+            h_node = modulate(ln("norm2_node")(h_node), n_shift_mlp, n_scale_mlp) * node_mask
+            h_out = (h_node + n_gate_mlp * ff_node(h_node)) * node_mask
+            h_edge = h_in_edge + e_gate_msa * h_edge
+            h_edge = modulate(ln("norm2_edge")(h_edge), e_shift_mlp, e_scale_mlp)
+            h_edge_out = h_edge + e_gate_mlp * ff_edge(h_edge)
+        else:
+            h_node = h_in_node + h_node
+            h_node = ln("norm2_node")(h_node) * node_mask
+            h_out = (h_node + ff_node(h_node)) * node_mask
+            h_edge = h_in_edge + h_edge
+            h_edge = ln("norm2_edge")(h_edge)
+            h_edge_out = h_edge + ff_edge(h_edge)
+
+        # equivariant coordinate update (ref :172)
+        pos = MultiCondEquiUpdate(
+            self.node_dim,
+            self.edge_dim,
+            dist_dim,
+            self.time_dim,
+            self.num_extra_heads,
+            name="equi_update",
+        )(h_out, pos, h_edge_out, distance, edge_time_emb, extra_heads, edge_mask)
+
+        return h_out, h_edge_out, pos
+
+
+@register_model(name="DMT")
+class DMT(nn.Module):
+    """Conditional Diffusion Molecule Transformer with self-conditioning
+    (dense rewrite of ref models/dmt.py:178-413).
+
+    ``__call__(t, xh, node_mask, edge_mask, context, edge_x, cond_x,
+    cond_edge_x, noise_level, has_cond, deterministic)``:
+
+    - ``xh [B, N, 3 + in_node_dim]`` positions + node features (normalised)
+    - ``edge_x [B, N, N, edge_ch]`` dense edge features
+    - ``context`` spectra tuple for SpecFormer (or ``None``)
+    - ``cond_x/cond_edge_x`` self-conditioning previous prediction (pass
+      zeros with ``has_cond=False`` for the reference's ``cond_x=None`` path)
+    - ``has_cond`` scalar bool (traced ok): selects the reference's
+      ``cond_x is None`` branch behaviour (all-ones conditional adjacency and
+      zeroed distance features, ref :332-340, :363-368).
+
+    Returns ``(pred [B, N, 3 + in_node_dim], edge_pred [B, N, N, edge_ch])``.
+    """
+
+    in_node_dim: int = 6  # atom types + formal charge bit
+    hidden_dim: int = 256
+    edge_hidden_dim: int = 64
+    edge_ch: int = 2
+    n_heads: int = 16
+    n_extra_heads: int = 2
+    n_layers: int = 8
+    dropout: float = 0.1
+    cond_time: bool = True
+    dist_gbf: bool = True
+    gbf_name: str = "CondGaussianLayer"
+    edge_quan_th: float = 0.0
+    CoM: bool = True
+    mlp_ratio: int = 2
+    spatial_cut_off: float = 2.0
+    softmax_inf: bool = True
+    pred_data: bool = True
+    spectra_version: str = "ir"
+    patch_len: tuple = (20, 50, 50)
+    stride: tuple = (10, 25, 25)
+
+    @staticmethod
+    def from_config(config):
+        return DMT(
+            in_node_dim=config.data.atom_types + int(config.model.include_fc_charge),
+            hidden_dim=config.model.nf,
+            edge_hidden_dim=config.model.nf // 4,
+            edge_ch=config.model.edge_ch,
+            n_heads=config.model.n_heads,
+            n_extra_heads=config.model.n_extra_heads,
+            n_layers=config.model.n_layers,
+            dropout=config.model.dropout,
+            cond_time=config.model.cond_time,
+            dist_gbf=config.model.dist_gbf,
+            gbf_name=config.model.gbf_name,
+            edge_quan_th=config.model.edge_quan_th,
+            CoM=config.model.CoM,
+            mlp_ratio=config.model.mlp_ratio,
+            spatial_cut_off=config.model.spatial_cut_off,
+            softmax_inf=config.model.softmax_inf,
+            pred_data=config.model.pred_data,
+            spectra_version=config.data.spectra_version,
+            patch_len=tuple(config.model.patch_len),
+            stride=tuple(config.model.stride),
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        t,
+        xh,
+        node_mask,
+        edge_mask,
+        context=None,
+        *,
+        edge_x,
+        noise_level=None,
+        cond_x=None,
+        cond_edge_x=None,
+        has_cond=False,
+        deterministic: bool = True,
+        **kwargs,
+    ):
+        B, N, dims = xh.shape
+        time_dim = self.hidden_dim * 4
+        dist_dim = self.edge_hidden_dim if self.dist_gbf else 1
+
+        pos = xh[:, :, 0:3]
+        h = xh[:, :, 3:]
+
+        # self-conditioning features (ref :332-345)
+        if cond_x is None:
+            cond_x = jnp.zeros_like(xh)
+            cond_edge_x = jnp.zeros_like(edge_x)
+            has_cond = jnp.asarray(False)
+        has_cond = jnp.asarray(has_cond)
+        cond_pos = cond_x[:, :, 0:3]
+        cond_h = cond_x[:, :, 3:]
+        # binarised conditional adjacency; all-ones when no cond (ref :335-340)
+        thresholded = (cond_edge_x[..., 0:1] >= self.edge_quan_th).astype(xh.dtype)
+        cond_adj_2d = jnp.where(has_cond, thresholded, jnp.ones_like(thresholded))
+        cond_adj_2d = jax.lax.stop_gradient(cond_adj_2d)
+
+        h = jnp.concatenate([h, cond_h], axis=-1)
+
+        # spectra conditioning added to the time embedding (ref :347-354)
+        if context is not None:
+            ctx = SpecFormer(
+                patch_len=self.patch_len,
+                stride=self.stride,
+                output_dim=self.hidden_dim,
+                spectra_version=self.spectra_version,
+                name="cond_encoder",
+            )(context, deterministic=deterministic)
+            ctx = nn.Dense(time_dim, name="cond_lin")(ctx)
+        else:
+            ctx = 0.0
+
+        if self.cond_time:
+            temb = LearnedSinusoidalPosEmb(16, name="time_emb")(noise_level)
+            temb = nn.Dense(time_dim, name="time_mlp_1")(temb)
+            temb = nn.gelu(temb)
+            temb = nn.Dense(time_dim, name="time_mlp_2")(temb)
+            time_emb = temb + ctx  # [B, time_dim]
+            node_time_emb = time_emb
+            edge_time_emb = time_emb
+        else:
+            node_time_emb = edge_time_emb = None
+            time_emb = None
+
+        # distances + spatial adjacency from the self-cond positions
+        # (ref :363-368); when there is no cond, positions are zero and the
+        # reference swaps the GBF features for zeros (ref :364-365)
+        distances_raw, cond_adj_spatial = M.coord2diff_adj_dense(
+            cond_pos, edge_mask, self.spatial_cut_off
+        )
+        if self.dist_gbf:
+            gbf_feat = _GBF_LAYERS[self.gbf_name](
+                dist_dim, time_dim, name="dist_layer"
+            )(distances_raw, edge_time_emb)
+        else:
+            gbf_feat = distances_raw
+        zeros_feat = jnp.zeros(distances_raw.shape[:-1] + (dist_dim,), xh.dtype)
+        distances = jnp.where(has_cond, gbf_feat, zeros_feat)
+
+        extra_adj = jnp.concatenate([cond_adj_2d, cond_adj_spatial], axis=-1)
+        edge_attr = jnp.concatenate([edge_x, cond_edge_x, distances], axis=-1)
+
+        h = nn.Dense(self.hidden_dim, name="node_emb")(h)
+        edge_attr = nn.Dense(self.edge_hidden_dim, name="edge_emb")(edge_attr)
+
+        cat_node_dim = (self.hidden_dim * 2) // self.n_layers
+        cat_edge_dim = (self.edge_hidden_dim * 2) // self.n_layers
+
+        atom_hids = [h]
+        edge_hids = [edge_attr]
+        for i in range(self.n_layers):
+            h, edge_attr, pos = EquivariantMixBlock(
+                self.hidden_dim,
+                self.edge_hidden_dim,
+                time_dim,
+                self.n_extra_heads,
+                self.n_heads,
+                cond_time=self.cond_time,
+                dist_gbf=self.dist_gbf,
+                softmax_inf=self.softmax_inf,
+                mlp_ratio=self.mlp_ratio,
+                dropout=self.dropout,
+                gbf_name=self.gbf_name,
+                name=f"e_block_{i}",
+            )(
+                pos, h, edge_attr, node_mask, edge_mask, extra_adj,
+                node_time_emb, edge_time_emb, deterministic=deterministic,
+            )
+            if self.CoM:
+                pos = M.remove_mean_with_mask(pos, node_mask)
+            atom_hids.append(nn.Dense(cat_node_dim, name=f"node_{i}")(h))
+            edge_hids.append(nn.Dense(cat_edge_dim, name=f"edge_{i}")(edge_attr))
+
+        atom_hids = jnp.concatenate(atom_hids, axis=-1)
+        edge_hids = jnp.concatenate(edge_hids, axis=-1)
+
+        def mlp_head(x, width, out, prefix):
+            x = nn.Dense(width, name=f"{prefix}_0")(x)
+            x = nn.silu(x)
+            x = nn.Dense(width // 2, name=f"{prefix}_1")(x)
+            x = nn.silu(x)
+            return nn.Dense(out, name=f"{prefix}_2")(x)
+
+        atom_pred = mlp_head(
+            atom_hids, self.hidden_dim, self.in_node_dim, "node_pred_mlp"
+        ) * node_mask
+        edge_exist = mlp_head(edge_hids, self.edge_hidden_dim, 1, "edge_exist_mlp")
+        edge_type = mlp_head(
+            edge_hids, self.edge_hidden_dim, self.edge_ch - 1, "edge_type_mlp"
+        )
+        edge_pred = jnp.concatenate([edge_exist, edge_type], axis=-1)
+        # dense scatter-back == masking to real edges, then symmetrise
+        # (ref :396-399)
+        edge_final = edge_pred * edge_mask[..., None]
+        edge_final = M.symmetrize_edges(edge_final)
+
+        if self.pred_data:
+            pos = pos * node_mask
+        else:
+            pos = (pos - xh[:, :, 0:3]) * node_mask
+
+        # NaN guard: reference zeroes positions if any NaN (ref :407-409)
+        pos = jnp.where(jnp.any(jnp.isnan(pos)), jnp.zeros_like(pos), pos)
+        pos = M.remove_mean_with_mask(pos, node_mask)
+
+        return jnp.concatenate([pos, atom_pred], axis=2), edge_final

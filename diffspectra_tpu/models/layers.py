@@ -1,0 +1,232 @@
+"""Shared dense graph-transformer layers.
+
+TPU-native dense rewrites of the reference's PyG ``MessagePassing`` layers
+(ref: models/layers.py). Where the reference runs scatter-softmax over a
+sparse ``[2, E]`` edge list, these layers compute masked dense attention over
+the full ``[B, N, N]`` pair grid — with N <= 29 this is exactly what the MXU
+wants, and the sparse machinery (torch_scatter / torch_geometric) disappears.
+
+Masking contract: ``edge_mask [B, N, N]`` is 1 on real off-diagonal pairs.
+Masked pairs get logits of ``MASK_INF`` so they vanish from the softmax, which
+is numerically identical to the reference's softmax over the real-edge set.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# More negative than the reference's -1e10 "adjacency zero" logit so that
+# padded pairs are excluded even when every real logit is -1e10
+# (ref: models/layers.py:169-176).
+MASK_INF = -1e30
+
+
+def modulate(x, shift, scale):
+    """adaLN modulation (ref: models/dmt.py:13-14)."""
+    return x * (1 + scale) + shift
+
+
+class LearnedSinusoidalPosEmb(nn.Module):
+    """Learned sinusoidal time embedding (ref: models/layers.py:273-288).
+
+    in: ``[B]`` -> out: ``[B, dim + 1]`` = [x, sin(2 pi x w), cos(2 pi x w)].
+    """
+
+    dim: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.dim % 2 == 0
+        half_dim = self.dim // 2
+        weights = self.param("weights", nn.initializers.normal(1.0), (half_dim,))
+        x = x[..., None]
+        freqs = x * weights[None, :] * 2 * math.pi
+        return jnp.concatenate([x, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+def _gaussian(x, mean, std):
+    # ref models/layers.py:291-295 (uses pi = 3.14159, kept for parity)
+    pi = 3.14159
+    a = (2 * pi) ** 0.5
+    return jnp.exp(-0.5 * (((x - mean) / std) ** 2)) / (a * std)
+
+
+class GaussianLayer(nn.Module):
+    """Gaussian basis features for squared distances (ref: models/layers.py:298-311).
+
+    in: ``[..., 1]`` -> out: ``[..., K]`` = [x, gauss(x; means, stds)].
+    """
+
+    K: int
+    time_dim: int = 0  # unused; kept for constructor parity
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        k = self.K - 1
+        means = self.param("means", nn.initializers.uniform(3.0), (k,))
+        stds = self.param("stds", nn.initializers.uniform(3.0), (k,))
+        std = jnp.abs(stds) + 1e-5
+        return jnp.concatenate([x, _gaussian(x, means, std)], axis=-1)
+
+
+class CondGaussianLayer(nn.Module):
+    """Gaussian basis features with time-conditioned scale/shift of the input
+    distance (ref: models/layers.py:314-334).
+
+    ``x [B, N, N, 1]``, ``time_emb [B, time_dim]``.
+    """
+
+    K: int
+    time_dim: int
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        k = self.K - 1
+        means = self.param("means", nn.initializers.uniform(3.0), (k,))
+        stds = self.param("stds", nn.initializers.uniform(3.0), (k,))
+        if time_emb is not None:
+            ss = nn.Dense(2, name="time_mlp")(nn.silu(time_emb))  # [B, 2]
+            scale, shift = ss[:, 0], ss[:, 1]
+            bshape = (-1,) + (1,) * (x.ndim - 1)
+            x = x * (scale.reshape(bshape) + 1) + shift.reshape(bshape)
+        std = jnp.abs(stds) + 1e-5
+        return jnp.concatenate([x, _gaussian(x, means, std)], axis=-1)
+
+
+class CoorsNorm(nn.Module):
+    """Normalise coordinate vectors to unit length times a learned scale
+    (ref: models/layers.py:337-347)."""
+
+    eps: float = 1e-8
+    scale_init: float = 1.0
+
+    @nn.compact
+    def __call__(self, coors):
+        scale = self.param(
+            "scale", nn.initializers.constant(self.scale_init), (1,)
+        )
+        norm = jnp.linalg.norm(coors, axis=-1, keepdims=True)
+        normed = coors / jnp.maximum(norm, self.eps)
+        return normed * scale
+
+
+class DenseTransMixLayer(nn.Module):
+    """Dense masked multi-head attention with edge-feature key/value gating
+    and extra adjacency-logit heads.
+
+    Dense rewrite of ``TransMixLayer`` (ref: models/layers.py:92-191):
+
+    - ``heads`` total heads of dimension ``out_channels``; the first
+      ``extra_heads`` attention maps are raw adjacency logits (0 -> -1e10 when
+      ``set_inf``), the remaining ``sub_heads`` are learned with q/k computed
+      in ``sub_channels = heads*out_channels // sub_heads`` dims.
+    - learned logits: ``sum_c q_i k_j tanh(E0 e_ij) / sqrt(out_channels)``.
+    - message: ``v_j * tanh(E1 e_ij) * alpha_ij`` summed over j.
+
+    Inputs: ``x [B, N, D]``, ``edge_attr [B, N, N, De]``,
+    ``extra_heads [B, N, N, n_extra]``, ``edge_mask [B, N, N]``.
+    Output: ``[B, N, heads * out_channels]``.
+    """
+
+    x_channels: int
+    out_channels: int
+    extra_heads: int = 2
+    heads: int = 4
+    dropout: float = 0.0
+    set_inf: bool = False
+
+    @nn.compact
+    def __call__(self, x, edge_attr, extra_heads, edge_mask, deterministic=True):
+        H = self.heads
+        E = H - self.extra_heads  # sub (learned) heads
+        C = self.out_channels
+        sub_c = (H * C) // E
+
+        # expand extra heads channel-wise if fewer provided (ref :140-144)
+        n_cur = extra_heads.shape[-1]
+        if n_cur != self.extra_heads:
+            n_expand = self.extra_heads // n_cur
+            extra_heads = jnp.repeat(extra_heads, n_expand, axis=-1)
+
+        B, N, _ = x.shape
+        query = nn.Dense(E * sub_c, name="lin_query")(x).reshape(B, N, E, sub_c)
+        key = nn.Dense(E * sub_c, name="lin_key")(x).reshape(B, N, E, sub_c)
+        value = nn.Dense(H * C, name="lin_value")(x).reshape(B, N, H, C)
+
+        e0 = nn.Dense(E * sub_c, use_bias=False, name="lin_edge0")(edge_attr)
+        e0 = jnp.tanh(e0.reshape(B, N, N, E, sub_c))
+        e1 = nn.Dense(H * C, use_bias=False, name="lin_edge1")(edge_attr)
+        e1 = jnp.tanh(e1.reshape(B, N, N, H, C))
+
+        # learned logits, scaled by sqrt(out_channels) as the reference does
+        # (ref :167 — NOT sqrt(sub_channels))
+        alpha_learned = jnp.einsum("bihc,bjhc,bijhc->bijh", query, key, e0)
+        alpha_learned = alpha_learned / math.sqrt(C)
+
+        if self.set_inf:
+            extra_logits = jnp.where(extra_heads == 0.0, -1e10, extra_heads)
+        else:
+            extra_logits = extra_heads
+        alpha = jnp.concatenate([extra_logits, alpha_learned], axis=-1)  # [B,N,N,H]
+
+        # exclude padded / diagonal pairs exactly like sparse scatter-softmax
+        alpha = jnp.where(edge_mask[..., None] > 0, alpha, MASK_INF)
+        alpha = jax.nn.softmax(alpha, axis=2)
+        # rows with no real neighbours produce garbage uniform weights; they
+        # are zeroed by the caller's node_mask (padded nodes only).
+        alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
+
+        out = jnp.einsum("bjhc,bijhc,bijh->bihc", value, e1, alpha)
+        return out.reshape(B, N, H * C)
+
+
+class DenseEdgeGateTransLayer(nn.Module):
+    """Dense rewrite of ``EdgeGateTransLayer`` (ref: models/layers.py:194-270):
+    standard multi-head attention where both logits and values are gated by
+    tanh-transformed edge features. Used by CDGS."""
+
+    x_channels: int
+    out_channels: int
+    heads: int = 1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_mask, deterministic=True):
+        H, C = self.heads, self.out_channels
+        B, N, _ = x.shape
+        query = nn.Dense(H * C, name="lin_query")(x).reshape(B, N, H, C)
+        key = nn.Dense(H * C, name="lin_key")(x).reshape(B, N, H, C)
+        value = nn.Dense(H * C, name="lin_value")(x).reshape(B, N, H, C)
+        e0 = jnp.tanh(
+            nn.Dense(H * C, use_bias=False, name="lin_edge0")(edge_attr).reshape(
+                B, N, N, H, C
+            )
+        )
+        e1 = jnp.tanh(
+            nn.Dense(H * C, use_bias=False, name="lin_edge1")(edge_attr).reshape(
+                B, N, N, H, C
+            )
+        )
+        alpha = jnp.einsum("bihc,bjhc,bijhc->bijh", query, key, e0) / math.sqrt(C)
+        alpha = jnp.where(edge_mask[..., None] > 0, alpha, MASK_INF)
+        alpha = jax.nn.softmax(alpha, axis=2)
+        alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
+        out = jnp.einsum("bjhc,bijhc,bijh->bihc", value, e1, alpha)
+        return out.reshape(B, N, H * C)
+
+
+def sinusoidal_timestep_embedding(timesteps, embedding_dim: int, max_positions=10000):
+    """Transformer sinusoidal embedding (used by CDGS, ref: models/cdgs.py:188-199)."""
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb

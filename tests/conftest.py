@@ -1,0 +1,17 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax loads.
+
+This is the standard JAX substitute for multi-chip testing (SURVEY.md §4):
+sharding/shard_map tests run against 8 virtual CPU devices.
+"""
+
+import os
+import sys
+
+# Hard override: the environment may pin JAX_PLATFORMS to a TPU plugin;
+# unit tests always run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
