@@ -1,0 +1,131 @@
+"""QM9S DiffSpectra config, mirroring ref configs/diffspectra_qm9s.py:8-154.
+
+Differences from the reference surface (deliberate, documented):
+- GPU-count scaling (``torch.cuda.device_count()``, ref :87-115) becomes
+  device-count scaling over ``jax.devices()``; batch/iters semantics match.
+- ``config.device`` is dropped; placement is governed by the jax mesh.
+"""
+
+import ml_collections
+
+
+def get_config():
+    config = ml_collections.ConfigDict()
+
+    config.exp_type = "diffspectra"
+    config.pred_edge = True
+    config.only_2D = False
+
+    # data
+    config.data = data = ml_collections.ConfigDict()
+    data.root = "data/QM9S"
+    data.name = "QM9S"
+    data.processed_file = ""
+    data.info_name = "qm9_second_half"
+    data.num_workers = 16
+    data.compress_edge = True
+    data.centered = True
+    data.include_aromatic = False
+    data.atom_types = 5
+    data.bond_types = 4
+    data.fc_scale = [-1.0, 1.0]
+    data.max_node = 29
+    # spectra
+    data.spectra_version = "allspectra"  # 'ir', 'uv', 'raman', 'allspectra'
+    data.aug_translation_scale = 0.1
+    data.transform = "EdgeComSpectra"
+    data.use_normalize = True  # log10(x+1) spectra normalisation
+    # synthetic fallback when no QM9S download is present (tests/benches)
+    data.synthetic = False
+    data.synthetic_size = 4096
+
+    # SDE
+    config.sde = sde = ml_collections.ConfigDict()
+    sde.schedule = "cosine"  # 'discrete_poly', 'linear', 'cosine'
+    sde.continuous_beta_0 = 0.1
+    sde.continuous_beta_1 = 20.0
+
+    # model
+    config.model = model = ml_collections.ConfigDict()
+    model.name = "DMT"
+    model.pred_data = True
+    model.include_fc_charge = True
+    model.normalize_factors = "1, 4, 4, 1"
+    model.ema_decay = 0.999
+    model.edge_ch = 2
+    model.nf = 256
+    model.n_layers = 8
+    model.n_heads = 16
+    model.dropout = 0.1
+    model.cond_time = True
+    model.dist_gbf = True
+    model.gbf_name = "CondGaussianLayer"
+    model.self_cond = True
+    model.self_cond_type = "ori"
+    model.edge_quan_th = 0.0
+    model.n_extra_heads = 2
+    model.CoM = True
+    model.mlp_ratio = 2
+    model.spatial_cut_off = 2.0
+    model.softmax_inf = True
+    model.trans_name = "TransMixLayer"
+    model.cond_ch = 1
+    model.pretrained_specformer_path = ""
+    model.patch_len = [20, 50, 50]
+    model.stride = [10, 25, 25]
+    # loss
+    model.loss_weights = "1., 0.25, 0.1"
+    model.noise_align = True
+
+    # training
+    config.training = training = ml_collections.ConfigDict()
+    training.dataloader_drop_last = True
+    # device-count scaling (ref scales by num GPUs, :87-115); resolved at
+    # runtime by run_lib against the jax mesh
+    training.num_devices = 0  # 0 = use all local devices
+    base_batch_size = 128
+    training.base_batch_size = base_batch_size
+    training.batch_size = 0  # 0 = base_batch_size * num_devices
+    training.eval_batch_size = 0
+    training.eval_samples = 0
+    training.reduce_mean = False
+    training.log_freq = 500
+    training.n_iters = 2000000
+    training.snapshot_freq = 50000
+    training.snapshot_freq_for_preemption = 10000
+    training.snapshot_sampling = True
+    # precision: bf16 matmuls on TPU (f32 params); 'highest' falls back to f32
+    training.matmul_precision = "bfloat16"
+
+    # optimisation
+    config.optim = optim = ml_collections.ConfigDict()
+    optim.weight_decay = 0
+    optim.optimizer = "AdamW"
+    optim.lr = 2e-4
+    optim.beta1 = 0.9
+    optim.eps = 1e-8
+    optim.warmup = 100000
+    optim.grad_clip = 10.0
+    optim.disable_grad_log = True
+
+    # sampling
+    config.sampling = sampling = ml_collections.ConfigDict()
+    sampling.method = "ancestral"
+    sampling.steps = 1000
+    sampling.vis_row = 4
+    sampling.vis_col = 4
+
+    # evaluation
+    config.eval = evaluate = ml_collections.ConfigDict()
+    evaluate.enable_sampling = True
+    evaluate.batch_size = 0
+    evaluate.num_samples = 10000
+    evaluate.begin_ckpt = 40
+    evaluate.end_ckpt = 40
+    evaluate.ckpts = ""
+    evaluate.sub_geometry = True
+    evaluate.save_mols = "false"
+    evaluate.sampling_temperature = 1.0
+
+    config.seed = 42
+    return config

@@ -1,0 +1,37 @@
+"""Tiny CPU smoke config (BASELINE.json config 1): QM9S IR-only, small DMT,
+batch 8, 50 diffusion steps — used by tests and the end-to-end smoke run."""
+
+from . import diffspectra_qm9s
+
+
+def get_config():
+    config = diffspectra_qm9s.get_config()
+    config.data.spectra_version = "ir"
+    config.data.max_node = 16
+    config.data.synthetic = True
+    config.data.synthetic_size = 256
+
+    config.model.nf = 64
+    config.model.n_layers = 4
+    config.model.n_heads = 8
+    config.model.dropout = 0.0
+
+    config.training.base_batch_size = 8
+    config.training.batch_size = 8
+    config.training.eval_batch_size = 8
+    config.training.eval_samples = 8
+    config.training.n_iters = 20
+    config.training.log_freq = 5
+    config.training.snapshot_freq = 20
+    config.training.snapshot_freq_for_preemption = 10
+    config.training.matmul_precision = "float32"
+
+    config.optim.warmup = 10
+
+    config.sampling.steps = 50
+
+    config.eval.num_samples = 8
+    config.eval.batch_size = 8
+    config.eval.begin_ckpt = 1
+    config.eval.end_ckpt = 1
+    return config

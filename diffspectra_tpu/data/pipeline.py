@@ -1,0 +1,191 @@
+"""Dataset assembly, splits, batching and on-device augmentation.
+
+Replaces ref datasets/build_dataset.py:13-452 + qm9s_dataset.py splits. The
+reference pads each batch to the per-batch max atom count (dynamic shapes);
+TPU wants static shapes, so batches are padded to the fixed ``data.max_node``
+(deliberate, documented deviation — numerics are mask-invariant, SURVEY §7).
+
+SO(3) rotation + translation augmentation (ref build_dataset.py:313-339,
+scipy on host) runs on-device as a jitted function over the whole batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .info import get_dataset_info
+from .synthetic import generate as generate_synthetic
+from .transform import edge_com_spectra_transform
+
+SPECTRA_KEYS = {"uv": ("uv",), "ir": ("ir",), "raman": ("raman",),
+                "allspectra": ("uv", "ir", "raman")}
+
+
+class ArrayDataset:
+    """A dict of aligned numpy arrays + an index; cheap row views."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray], indices: np.ndarray):
+        self.arrays = arrays
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def take(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
+        idx = self.indices[rows]
+        return {k: v[idx] for k, v in self.arrays.items()}
+
+    def select(self, rows: np.ndarray) -> "ArrayDataset":
+        return ArrayDataset(self.arrays, self.indices[rows])
+
+
+def _conditional_splits(rng: np.ndarray, size: int):
+    """4-way conditional split like the reference's
+    split_dict_diffspectra_qm9.pt (ref qm9s_dataset.py:306-312): first/second
+    train halves, val, test."""
+    perm = rng.permutation(size)
+    n_test = max(1, int(size * 0.1))
+    n_val = max(1, int(size * 0.05))
+    n_train = size - n_test - n_val
+    first = perm[: n_train // 2]
+    second = perm[n_train // 2 : n_train]
+    val = perm[n_train : n_train + n_val]
+    test = perm[n_train + n_val :]
+    return first, second, val, test
+
+
+def get_dataset(config, transform: bool = True):
+    """Build (first_train, second_train, val, test, dataset_info)
+    (ref build_dataset.py:13-49; conditional split path)."""
+    dataset_info = get_dataset_info(config.data.info_name)
+    max_n = config.data.max_node
+
+    if config.data.get("synthetic", False):
+        raw = generate_synthetic(
+            seed=config.seed, size=config.data.synthetic_size, max_n=max_n,
+            info_name=config.data.info_name,
+        )
+        split_rng = np.random.default_rng(config.seed)
+        first, second, val, test = _conditional_splits(split_rng, len(raw["num_atom"]))
+    else:
+        from .qm9s import load_qm9s  # lazy: touches the filesystem
+
+        raw, splits = load_qm9s(config.data.root, max_n=max_n)
+        first, second, val, test = splits
+
+    if transform:
+        arrays = edge_com_spectra_transform(
+            raw,
+            atom_types=config.data.atom_types,
+            include_aromatic=config.data.include_aromatic,
+            use_normalize=config.data.use_normalize,
+        )
+    else:
+        arrays = raw
+
+    ds = ArrayDataset(arrays, np.arange(len(arrays["num_atom"])))
+    return (
+        ds.select(first),
+        ds.select(second),
+        ds.select(val),
+        ds.select(test),
+        dataset_info,
+    )
+
+
+def build_masks_np(num_atom: np.ndarray, max_n: int):
+    ar = np.arange(max_n)
+    node_mask = (ar[None, :] < num_atom[:, None]).astype(np.float32)
+    edge_mask = node_mask[:, :, None] * node_mask[:, None, :]
+    edge_mask *= 1.0 - np.eye(max_n, dtype=np.float32)[None]
+    return node_mask, edge_mask
+
+
+def collate(rows: Dict[str, np.ndarray], spectra_version: str) -> Dict:
+    """Pack rows into the model batch dict (ref CollateSpectra,
+    build_dataset.py:306-395, minus augmentation which runs on device)."""
+    num_atom = rows["num_atom"]
+    max_n = rows["atom_one_hot"].shape[1]
+    node_mask, edge_mask = build_masks_np(num_atom, max_n)
+    keys = SPECTRA_KEYS[spectra_version]
+    spectra = tuple(rows[k] for k in keys)
+    return dict(
+        atom_one_hot=rows["atom_one_hot"],
+        edge_one_hot=rows["edge_one_hot"],
+        positions=rows["positions"],
+        formal_charges=rows["formal_charges"],
+        atom_mask=node_mask,
+        edge_mask=edge_mask,
+        context=spectra if len(spectra) > 1 else spectra[0],
+        num_atom=num_atom,
+    )
+
+
+def random_rotation_matrices(key, bs: int) -> jnp.ndarray:
+    """Uniform SO(3) rotations via normalised quaternions ([B, 3, 3])."""
+    q = jax.random.normal(key, (bs, 4))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y**2 + z**2), 2 * (x * y - z * w), 2 * (x * z + y * w)], -1),
+            jnp.stack([2 * (x * y + z * w), 1 - 2 * (x**2 + z**2), 2 * (y * z - x * w)], -1),
+            jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x**2 + y**2)], -1),
+        ],
+        axis=1,
+    )
+
+
+def augment_positions(
+    key,
+    positions: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    aug_rotation: bool,
+    aug_translation: bool,
+    aug_translation_scale: float,
+) -> jnp.ndarray:
+    """On-device SO(3) + translation augmentation
+    (ref build_dataset.py:313-339; scipy Rotation -> jax.random)."""
+    bs = positions.shape[0]
+    mask = node_mask[..., None] if node_mask.ndim == 2 else node_mask
+    k_rot, k_trans = jax.random.split(key)
+    if aug_rotation:
+        rot = random_rotation_matrices(k_rot, bs)
+        positions = jnp.einsum("bij,bnj->bni", rot, positions) * mask
+    if aug_translation:
+        trans = aug_translation_scale * jax.random.normal(k_trans, (bs, 1, 3))
+        positions = (positions + trans) * mask
+    return positions
+
+
+def get_batch_iterator(
+    ds: ArrayDataset,
+    batch_size: int,
+    spectra_version: str,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator[Dict]:
+    """Epoch iterator of collated numpy batches."""
+    rng = np.random.default_rng(seed)
+    n = len(ds)
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    stop = n - (n % batch_size) if drop_last else n
+    for start in range(0, stop, batch_size):
+        rows = order[start : start + batch_size]
+        if len(rows) < batch_size and drop_last:
+            break
+        yield collate(ds.take(rows), spectra_version)
+
+
+def inf_iterator(make_iter):
+    """Infinite restartable iterator (ref build_dataset.py:52-58)."""
+    epoch = 0
+    while True:
+        for batch in make_iter(epoch):
+            yield batch
+        epoch += 1

@@ -1,0 +1,116 @@
+"""QM9S ingest: real-dataset loading into the dense array store.
+
+The reference builds a PyG ``InMemoryDataset`` from gdb9.sdf + spectra
+tensors (ref datasets/qm9s_dataset.py:60-361, processed file
+``data_qm9_allspectra.pt``) and a conditional split file
+``split_dict_diffspectra_qm9.pt`` (ref :306-312). This module accepts either:
+
+1. a directory of packed ``.npy`` arrays (our native format, produced once by
+   ``pack_from_pyg`` from the reference's processed .pt), or
+2. the reference's torch processed file directly (torch-cpu unpickle).
+
+Either way the result is the raw dict consumed by
+``transform.edge_com_spectra_transform``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+RAW_KEYS = ("atom_type", "pos", "edge_type", "fc", "num_atom", "uv", "ir", "raman")
+SPLIT_KEYS = ("first_train", "second_train", "valid", "test")
+
+
+def load_qm9s(root: str, max_n: int = 29) -> Tuple[Dict[str, np.ndarray], tuple]:
+    """Load the packed QM9S store from ``root``.
+
+    Expects ``<root>/packed/{atom_type,pos,edge_type,fc,num_atom,uv,ir,raman}.npy``
+    plus ``<root>/packed/split_{first_train,second_train,valid,test}.npy``.
+    Falls back to converting the reference torch processed file if present.
+    """
+    packed = os.path.join(root, "packed")
+    if os.path.isdir(packed):
+        raw = {k: np.load(os.path.join(packed, f"{k}.npy"), mmap_mode="r") for k in RAW_KEYS}
+        splits = tuple(
+            np.load(os.path.join(packed, f"split_{k}.npy")) for k in SPLIT_KEYS
+        )
+        if raw["atom_type"].shape[1] != max_n:
+            raise ValueError(
+                f"packed store has N={raw['atom_type'].shape[1]}, config wants {max_n}"
+            )
+        return raw, splits
+
+    pt_file = os.path.join(root, "processed", "data_qm9_allspectra.pt")
+    if os.path.exists(pt_file):
+        raw, splits = pack_from_pyg(root, max_n)
+        return raw, splits
+
+    raise FileNotFoundError(
+        f"No QM9S data found under {root!r}: expected packed/*.npy or "
+        f"processed/data_qm9_allspectra.pt. For tests/benches set "
+        f"config.data.synthetic=True."
+    )
+
+
+def pack_from_pyg(root: str, max_n: int = 29):
+    """One-time conversion of the reference's processed PyG .pt into the
+    packed dense .npy store (requires torch; runs on host CPU)."""
+    import torch  # host-only dependency, never on the device path
+
+    pt_file = os.path.join(root, "processed", "data_qm9_allspectra.pt")
+    data, slices = torch.load(pt_file, map_location="cpu", weights_only=False)
+
+    n_mol = len(slices["num_atom"]) - 1
+    out = {
+        "atom_type": np.zeros((n_mol, max_n), np.int64),
+        "pos": np.zeros((n_mol, max_n, 3), np.float32),
+        "edge_type": np.zeros((n_mol, max_n, max_n), np.int64),
+        "fc": np.zeros((n_mol, max_n), np.int64),
+        "num_atom": np.zeros((n_mol,), np.int64),
+        "uv": np.zeros((n_mol, 701), np.float32),
+        "ir": np.zeros((n_mol, 3501), np.float32),
+        "raman": np.zeros((n_mol, 3501), np.float32),
+    }
+    atom_sl = slices["atom_type"].numpy()
+    edge_sl = slices["edge_index"].numpy()
+    for m in range(n_mol):
+        a0, a1 = atom_sl[m], atom_sl[m + 1]
+        n = a1 - a0
+        out["num_atom"][m] = n
+        out["atom_type"][m, :n] = data.atom_type[a0:a1].numpy()
+        out["pos"][m, :n] = data.pos[a0:a1].numpy()
+        out["fc"][m, :n] = data.fc[a0:a1].numpy() if hasattr(data, "fc") else 0
+        e0, e1 = edge_sl[m], edge_sl[m + 1]
+        ei = data.edge_index[:, e0:e1].numpy()
+        et = data.edge_type[e0:e1].numpy()
+        out["edge_type"][m, ei[0], ei[1]] = et
+        for key in ("uv", "ir", "raman"):
+            spec = getattr(data, key)[m].numpy().reshape(-1)
+            out[key][m] = spec
+
+    split_file = os.path.join(root, "split_dict_diffspectra_qm9.pt")
+    if os.path.exists(split_file):
+        sd = torch.load(split_file, map_location="cpu", weights_only=False)
+        splits = tuple(np.asarray(sd[k]) for k in SPLIT_KEYS)
+    else:
+        rng = np.random.default_rng(42)
+        perm = rng.permutation(n_mol)
+        n_test, n_val = 13000, 5000
+        n_train = n_mol - n_test - n_val
+        splits = (
+            perm[: n_train // 2],
+            perm[n_train // 2 : n_train],
+            perm[n_train : n_train + n_val],
+            perm[n_train + n_val :],
+        )
+
+    packed = os.path.join(root, "packed")
+    os.makedirs(packed, exist_ok=True)
+    for k, v in out.items():
+        np.save(os.path.join(packed, f"{k}.npy"), v)
+    for k, v in zip(SPLIT_KEYS, splits):
+        np.save(os.path.join(packed, f"split_{k}.npy"), v)
+    return out, splits

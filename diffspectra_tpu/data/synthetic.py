@@ -1,0 +1,120 @@
+"""Synthetic QM9S-like dataset for tests and benchmarks.
+
+The real QM9S download (gdb9.sdf + computed IR/Raman/UV-Vis spectra,
+ref datasets/qm9s_dataset.py:60-361) is several GB and unavailable in a
+zero-egress environment; this generator produces molecules with the same
+schema and broadly realistic statistics (atom-count histogram, bond-length
+scale, valence-plausible graphs, smooth positive spectra) so that every
+pipeline stage — transform, collate, training, sampling, evaluation — runs
+end-to-end. Swap in the real ingest (data/qm9s.py) when the download exists.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from .info import get_dataset_info
+
+SPEC_LENS = {"uv": 701, "ir": 3501, "raman": 3501}
+
+# covalent-ish single-bond lengths in Angstrom for H,C,N,O,F (symmetric)
+_BOND_LEN = np.array(
+    [
+        [0.74, 1.09, 1.01, 0.96, 0.92],
+        [1.09, 1.54, 1.47, 1.43, 1.35],
+        [1.01, 1.47, 1.45, 1.40, 1.36],
+        [0.96, 1.43, 1.40, 1.48, 1.42],
+        [0.92, 1.35, 1.36, 1.42, 1.42],
+    ]
+)
+
+
+def _sample_n_atoms(rng, info, size):
+    hist = info["train_n_nodes"]
+    ns = np.array(sorted(hist))
+    probs = np.array([hist[n] for n in ns], dtype=np.float64)
+    probs /= probs.sum()
+    return rng.choice(ns, size=size, p=probs)
+
+
+def _random_tree_molecule(rng, n, max_n):
+    """Build a random tree-structured molecule with plausible geometry."""
+    # heavy atoms first, hydrogens last (rough QM9 flavour: ~half H)
+    n_heavy = max(1, int(round(n * rng.uniform(0.4, 0.55))))
+    types = np.zeros(n, dtype=np.int64)
+    types[:n_heavy] = rng.choice([1, 2, 3, 4], size=n_heavy, p=[0.72, 0.12, 0.14, 0.02])
+    # positions: random walk for heavy skeleton, H attached
+    pos = np.zeros((n, 3), dtype=np.float64)
+    parent = np.full(n, -1, dtype=np.int64)
+    for i in range(1, n_heavy):
+        parent[i] = rng.integers(0, i)
+    for i in range(n_heavy, n):
+        parent[i] = rng.integers(0, n_heavy)
+    for i in range(1, n):
+        p = parent[i]
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d) + 1e-9
+        blen = _BOND_LEN[types[p], types[i]] * rng.uniform(0.97, 1.03)
+        pos[i] = pos[p] + d * blen
+    pos -= pos[:n].mean(0, keepdims=True)
+
+    edge = np.zeros((max_n, max_n), dtype=np.int64)
+    for i in range(1, n):
+        order = 1
+        if types[i] != 0 and types[parent[i]] != 0 and rng.random() < 0.15:
+            order = rng.choice([2, 3], p=[0.85, 0.15])
+        edge[i, parent[i]] = order
+        edge[parent[i], i] = order
+
+    out_pos = np.zeros((max_n, 3), dtype=np.float32)
+    out_pos[:n] = pos
+    out_types = np.zeros(max_n, dtype=np.int64)
+    out_types[:n] = types
+    return out_types, out_pos, edge
+
+
+def _smooth_spectrum(rng, length, n_peaks=12):
+    x = np.arange(length, dtype=np.float64)
+    y = np.zeros(length)
+    for _ in range(n_peaks):
+        c = rng.uniform(0, length)
+        w = rng.uniform(length / 200, length / 30)
+        a = rng.uniform(0.5, 50.0)
+        y += a * np.exp(-0.5 * ((x - c) / w) ** 2)
+    return y.astype(np.float32)
+
+
+def generate(seed: int, size: int, max_n: int, info_name: str = "qm9_second_half") -> Dict[str, np.ndarray]:
+    """Generate a raw synthetic dataset with the QM9S schema:
+    atom_type [M, N], pos [M, N, 3], edge_type [M, N, N] (bond orders),
+    num_atom [M], fc [M, N], uv/ir/raman [M, L]."""
+    rng = np.random.default_rng(seed)
+    info = get_dataset_info(info_name)
+    n_atoms = np.minimum(_sample_n_atoms(rng, info, size), max_n)
+
+    atom_type = np.zeros((size, max_n), dtype=np.int64)
+    pos = np.zeros((size, max_n, 3), dtype=np.float32)
+    edge_type = np.zeros((size, max_n, max_n), dtype=np.int64)
+    fc = np.zeros((size, max_n), dtype=np.int64)
+    for m in range(size):
+        t, p, e = _random_tree_molecule(rng, int(n_atoms[m]), max_n)
+        atom_type[m], pos[m], edge_type[m] = t, p, e
+        # sprinkle rare formal charges (ref atom_fc_num stats)
+        if rng.random() < 0.02:
+            i = rng.integers(0, n_atoms[m])
+            fc[m, i] = rng.choice([-1, 1])
+
+    spectra = {
+        k: np.stack([_smooth_spectrum(rng, L) for _ in range(size)])
+        for k, L in SPEC_LENS.items()
+    }
+    return dict(
+        atom_type=atom_type,
+        pos=pos,
+        edge_type=edge_type,
+        fc=fc,
+        num_atom=n_atoms.astype(np.int64),
+        **spectra,
+    )

@@ -284,6 +284,7 @@ class DMT(nn.Module):
         cond_x=None,
         cond_edge_x=None,
         has_cond=False,
+        context_emb=None,
         deterministic: bool = True,
         **kwargs,
     ):
@@ -309,8 +310,13 @@ class DMT(nn.Module):
 
         h = jnp.concatenate([h, cond_h], axis=-1)
 
-        # spectra conditioning added to the time embedding (ref :347-354)
-        if context is not None:
+        # spectra conditioning added to the time embedding (ref :347-354).
+        # ``context_emb`` is the precomputed [B, time_dim] embedding — the
+        # sampler encodes the (t-independent) spectra ONCE instead of at
+        # every reverse step like the reference (ref sampling.py:588-593).
+        if context_emb is not None:
+            ctx = context_emb
+        elif context is not None:
             ctx = SpecFormer(
                 patch_len=self.patch_len,
                 stride=self.stride,
@@ -416,3 +422,25 @@ class DMT(nn.Module):
         pos = M.remove_mean_with_mask(pos, node_mask)
 
         return jnp.concatenate([pos, atom_pred], axis=2), edge_final
+
+
+def encode_context(model: DMT, variables, context, deterministic: bool = True):
+    """Precompute the spectra conditioning embedding ``[B, time_dim]``.
+
+    Applies the DMT's ``cond_encoder`` (SpecFormer) + ``cond_lin`` submodules
+    directly on their parameter subtrees so samplers can hoist the (time
+    independent) spectra encoding out of the 1000-step reverse loop.
+    """
+    spec = SpecFormer(
+        patch_len=model.patch_len,
+        stride=model.stride,
+        output_dim=model.hidden_dim,
+        spectra_version=model.spectra_version,
+    )
+    sub = {"params": variables["params"]["cond_encoder"]}
+    bstats = variables.get("batch_stats", {})
+    if bstats and "cond_encoder" in bstats:
+        sub["batch_stats"] = bstats["cond_encoder"]
+    ctx = spec.apply(sub, context, deterministic=deterministic)
+    lin = variables["params"]["cond_lin"]
+    return ctx @ lin["kernel"] + lin["bias"]

@@ -110,8 +110,14 @@ class CoorsNorm(nn.Module):
         scale = self.param(
             "scale", nn.initializers.constant(self.scale_init), (1,)
         )
-        norm = jnp.linalg.norm(coors, axis=-1, keepdims=True)
-        normed = coors / jnp.maximum(norm, self.eps)
+        # Safe normalisation: the dense pair grid contains exactly-zero
+        # difference vectors (diagonal) whose norm gradient would be NaN;
+        # the double-where pattern keeps both value and gradient clean there
+        # (those entries are masked downstream, but 0 * NaN = NaN in VJPs).
+        sq = jnp.sum(coors * coors, axis=-1, keepdims=True)
+        is_zero = sq <= self.eps * self.eps
+        norm = jnp.sqrt(jnp.where(is_zero, 1.0, sq))
+        normed = jnp.where(is_zero, 0.0, coors / jnp.maximum(norm, self.eps))
         return normed * scale
 
 
