@@ -52,11 +52,25 @@ def _make_apply_fn(model, params, train: bool):
     return apply_fn
 
 
-def get_step_fn(noise_scheduler, model, tx, scaler, config, train: bool = True):
-    """Build the (jittable) step function."""
+def get_step_fn(
+    noise_scheduler, model, tx, scaler, config, train: bool = True,
+    axis_name: str | None = None,
+):
+    """Build the (jittable) step function.
+
+    ``axis_name``: when set, the step is written for ``shard_map`` data
+    parallelism — gradients, loss and batch statistics are ``pmean``-reduced
+    over that mesh axis before the (replicated) optimizer update, the TPU
+    equivalent of the reference's DataParallel gradient gather
+    (ref models/utils.py:27).
+    """
     loss_fn = make_loss_fn(noise_scheduler, scaler, config)
 
     def train_step(state: TrainState, batch, rng):
+        if axis_name is not None:
+            # decorrelate per-shard noise draws
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+
         def loss_wrapped(params):
             apply_fn = _make_apply_fn(model, params, train=True)
             return loss_fn(apply_fn, state.batch_stats, batch, rng)
@@ -64,6 +78,10 @@ def get_step_fn(noise_scheduler, model, tx, scaler, config, train: bool = True):
         (loss, new_stats), grads = jax.value_and_grad(loss_wrapped, has_aux=True)(
             state.params
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = ema_lib.update(state.ema, new_params)
