@@ -1,0 +1,51 @@
+"""Orbax checkpointing with the reference's layout semantics.
+
+ref utils.py:7-30 + run_lib.py:213,247-255: a single overwriting "meta"
+checkpoint for preemption resume, plus numbered snapshots
+``checkpoint_{step // snapshot_freq}``; both hold
+{optimizer, model(params+batch_stats), ema, step} — here the whole
+``TrainState`` pytree.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, state) -> None:
+    """Save the train state to ``ckpt_dir`` (overwrites)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with _checkpointer() as cp:
+        cp.save(ckpt_dir, state, force=True)
+
+
+def restore_checkpoint(ckpt_dir: str, state):
+    """Restore into the structure of ``state``; returns ``state`` unchanged
+    (with a warning) if no checkpoint exists — matching ref utils.py:7-13."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.exists(ckpt_dir):
+        os.makedirs(os.path.dirname(ckpt_dir), exist_ok=True)
+        logging.warning(
+            "No checkpoint found at %s. Returned the same state as input", ckpt_dir
+        )
+        return state
+    with _checkpointer() as cp:
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
+        return cp.restore(ckpt_dir, abstract)
+
+
+def meta_checkpoint_dir(workdir: str) -> str:
+    return os.path.join(workdir, "checkpoints-meta", "checkpoint")
+
+
+def numbered_checkpoint_dir(workdir: str, number: int) -> str:
+    return os.path.join(workdir, "checkpoints", f"checkpoint_{number}")

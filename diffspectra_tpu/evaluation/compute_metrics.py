@@ -1,0 +1,377 @@
+"""Structure-recovery similarity metrics between predicted and true
+molecules: Top-1 exact match, MCES, Morgan/MACCS Tanimoto, cosine, Fraggle,
+functional-group similarity — CSV + detailed CSV/JSON outputs.
+
+Rewrite of ref compute_metrics.py:38-333 + run_lib.py:59-169. Two modes:
+
+- RDKit present: tautomer-canonicalised SMILES / InChIKey exact match,
+  Morgan(2, 2048) + MACCS fingerprints, Fraggle, SMARTS functional groups —
+  the reference's exact definitions. MCES requires pulp+myopic_mces; when
+  absent it degrades to the graph edit proxy below.
+- RDKit absent: WL-hash exact match (isomorphism-invariant stand-in for
+  InChIKey), WL fingerprints for Tanimoto/cosine, graph-pattern functional
+  groups, and an MCES proxy = |E1| + |E2| - 2|shared labelled bonds|.
+
+Output file shapes and metric row names match the reference so downstream
+tooling is drop-in.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import fingerprints as FP
+from .molgraph import MolGraph
+from .rdkit_metric import HAS_RDKIT
+
+try:
+    import pulp  # noqa: F401
+    from myopic_mces import MCES as _MCES
+
+    HAS_MCES = True
+except ImportError:
+    HAS_MCES = False
+
+FUNCTIONAL_GROUPS = {
+    "alkane": "[CX4]",
+    "alkene": "[CX3]=[CX3]",
+    "alkyne": "[CX2]#C",
+    "arene": "[$([cX3](:*):*),$([cX2+](:*):*)]",
+    "alcohol": "[#6][OX2H]",
+    "ether": "[OD2]([#6])[#6]",
+    "aldehyde": "[CX3H1](=O)[#6]",
+    "ketone": "[#6][CX3](=O)[#6]",
+    "carboxylic acid": "[CX3](=O)[OX2H1]",
+    "ester": "[#6][CX3](=O)[OX2H0][#6]",
+    "haloalkane": "[#6][F,Cl,Br,I]",
+    "acyl halide": "[CX3](=[OX1])[F,Cl,Br,I]",
+    "amine": "[NX3;!$(NC=O)]",
+    "amide": "[NX3][CX3](=[OX1])[#6]",
+    "nitrile": "[NX1]#[CX2]",
+    "sulfide": "[#16X2H0]",
+    "thiol": "[#16X2H]",
+}
+
+METRIC_NAMES = [
+    "Top-1 Accuracy",
+    "MCES",
+    "Tanimoto Similarity (Morgan)",
+    "Cosine Similarity (Morgan)",
+    "Tanimoto Similarity (MACCS)",
+    "Fraggle Similarity",
+    "Functional Group Similarity",
+]
+
+
+# ---------------------------------------------------------------- graph mode
+def _graph_functional_groups(mol: MolGraph) -> set:
+    """Pattern detection of the common functional groups on the H,C,N,O,F
+    vocabulary (fallback for the SMARTS table above)."""
+    groups = set()
+    syms = mol.atom_syms
+    bo = mol.bond_orders
+    n = mol.n_atoms
+    deg_h = [
+        sum(1 for j in np.nonzero(bo[i])[0] if syms[j] == "H") for i in range(n)
+    ]
+    for i in range(n):
+        si = syms[i]
+        nbrs = np.nonzero(bo[i])[0]
+        if si == "C":
+            if all(bo[i, j] == 1 for j in nbrs):
+                groups.add("alkane")
+            for j in nbrs:
+                if syms[j] == "C" and bo[i, j] == 2:
+                    groups.add("alkene")
+                if syms[j] == "C" and bo[i, j] == 3:
+                    groups.add("alkyne")
+                if syms[j] == "C" and bo[i, j] == 4:
+                    groups.add("arene")
+                if syms[j] == "F" and bo[i, j] == 1:
+                    groups.add("haloalkane")
+                if syms[j] == "O" and bo[i, j] == 2:
+                    heavy = [k for k in nbrs if syms[k] != "H" and k != j]
+                    if deg_h[i] >= 1 and any(syms[k] == "C" for k in heavy):
+                        groups.add("aldehyde")
+                    c_nbrs = [k for k in heavy if syms[k] == "C"]
+                    o_single = [
+                        k for k in heavy if syms[k] == "O" and bo[i, k] == 1
+                    ]
+                    if len(c_nbrs) >= 2:
+                        groups.add("ketone")
+                    for k in o_single:
+                        if deg_h[k] >= 1:
+                            groups.add("carboxylic acid")
+                        elif any(
+                            syms[l] == "C" for l in np.nonzero(bo[k])[0] if l != i
+                        ):
+                            groups.add("ester")
+                if syms[j] == "N" and bo[i, j] == 3:
+                    groups.add("nitrile")
+        elif si == "O":
+            c_nbrs = [j for j in nbrs if syms[j] == "C" and bo[i, j] == 1]
+            if deg_h[i] >= 1 and c_nbrs:
+                groups.add("alcohol")
+            if len(c_nbrs) >= 2:
+                groups.add("ether")
+        elif si == "N":
+            has_acyl = any(
+                syms[j] == "C"
+                and any(
+                    syms[k] == "O" and bo[j, k] == 2 for k in np.nonzero(bo[j])[0]
+                )
+                for j in nbrs
+            )
+            if has_acyl:
+                groups.add("amide")
+            elif nbrs.size:
+                groups.add("amine")
+    return groups
+
+
+def _mces_proxy(m1: MolGraph, m2: MolGraph) -> float:
+    """Graph-edit distance proxy: |E1| + |E2| - 2 |shared labelled bonds|
+    where a bond label is (sorted endpoint symbols, order)."""
+    def labels(m):
+        from collections import Counter
+
+        c = Counter()
+        iu, ju = np.nonzero(np.triu(m.bond_orders, 1))
+        for i, j in zip(iu, ju):
+            c[
+                (tuple(sorted((m.atom_syms[i], m.atom_syms[j]))), int(m.bond_orders[i, j]))
+            ] += 1
+        return c
+
+    c1, c2 = labels(m1), labels(m2)
+    shared = sum(min(c1[k], c2[k]) for k in c1.keys() & c2.keys())
+    return float(sum(c1.values()) + sum(c2.values()) - 2 * shared)
+
+
+# ----------------------------------------------------------------- rdkit mode
+def canonical_mol_from_smiles(smiles):
+    """Tautomer-standardised mol from SMILES (ref compute_metrics.py:59-70)."""
+    if not HAS_RDKIT:
+        raise RuntimeError("RDKit required")
+    from rdkit import Chem
+    from rdkit.Chem.MolStandardize.rdMolStandardize import TautomerEnumerator
+
+    mol = Chem.MolFromSmiles(smiles)
+    if mol is None:
+        return None
+    return TautomerEnumerator().Canonicalize(mol)
+
+
+def mol2smiles(mol):
+    from rdkit import Chem
+
+    try:
+        Chem.SanitizeMol(mol)
+    except ValueError:
+        return None
+    return Chem.MolToSmiles(mol, canonical=True)
+
+
+def _pair_scores_rdkit(true_mol, pred_mol, solver):
+    from rdkit import Chem
+    from rdkit.Chem import AllChem, DataStructs, MACCSkeys
+    from rdkit.Chem.Fraggle import FraggleSim
+
+    scores = {}
+    true_smi, pred_smi = mol2smiles(true_mol), mol2smiles(pred_mol)
+    try:
+        scores["inchikey_match"] = Chem.MolToInchiKey(true_mol) == Chem.MolToInchiKey(
+            pred_mol
+        )
+    except Exception:
+        scores["inchikey_match"] = None
+    if HAS_MCES and true_smi and pred_smi:
+        scores["mces"] = _MCES(
+            true_smi, pred_smi, solver=solver, threshold=100,
+            always_stronger_bound=False, solver_options=dict(msg=0),
+        )[1]
+    else:
+        from .cal_geometry import _to_molgraph
+
+        scores["mces"] = _mces_proxy(_to_molgraph(true_mol), _to_molgraph(pred_mol))
+    tf = AllChem.GetMorganFingerprintAsBitVect(true_mol, 2, nBits=2048)
+    pf = AllChem.GetMorganFingerprintAsBitVect(pred_mol, 2, nBits=2048)
+    tm = MACCSkeys.GenMACCSKeys(true_mol)
+    pm = MACCSkeys.GenMACCSKeys(pred_mol)
+    scores["tanimoto"] = DataStructs.TanimotoSimilarity(tf, pf)
+    scores["tanimoto_maccs"] = DataStructs.TanimotoSimilarity(tm, pm)
+    scores["cosine"] = DataStructs.CosineSimilarity(tf, pf)
+    try:
+        fraggle = FraggleSim.GetFraggleSimilarity(true_mol, pred_mol)
+        scores["fraggle"] = fraggle[0] if isinstance(fraggle, tuple) else fraggle
+    except Exception:
+        scores["fraggle"] = 0.0
+    from rdkit import Chem as C
+
+    fg1 = {
+        name
+        for name, smarts in FUNCTIONAL_GROUPS.items()
+        if true_mol.GetSubstructMatches(C.MolFromSmarts(smarts))
+    }
+    fg2 = {
+        name
+        for name, smarts in FUNCTIONAL_GROUPS.items()
+        if pred_mol.GetSubstructMatches(C.MolFromSmarts(smarts))
+    }
+    all_g = fg1 | fg2
+    scores["fg"] = len(fg1 & fg2) / len(all_g) if all_g else 1.0
+    return scores
+
+
+def _pair_scores_graph(true_mol: MolGraph, pred_mol: MolGraph):
+    fp_t = FP.wl_fingerprint(true_mol)
+    fp_p = FP.wl_fingerprint(pred_mol)
+    fg1 = _graph_functional_groups(true_mol)
+    fg2 = _graph_functional_groups(pred_mol)
+    all_g = fg1 | fg2
+    return {
+        "inchikey_match": true_mol.wl_hash() == pred_mol.wl_hash(),
+        "mces": _mces_proxy(true_mol, pred_mol),
+        "tanimoto": FP.tanimoto(fp_t, fp_p),
+        "tanimoto_maccs": FP.tanimoto(fp_t, fp_p),
+        "cosine": FP.cosine(fp_t, fp_p),
+        "fraggle": float("nan"),
+        "fg": len(fg1 & fg2) / len(all_g) if all_g else 1.0,
+    }
+
+
+def evaluate_jsonl_predictions(input_data, output_csv: str):
+    """Evaluate prediction pairs (ref compute_metrics.py:147-319).
+
+    ``input_data``: a JSONL path of {'predict','label'} SMILES rows (RDKit
+    mode only) or a (true_mols, pred_mols) tuple where pred_mols entries may
+    be single molecules or lists (top-k; only [0] is scored, ref :205-207).
+    """
+    import pandas as pd
+
+    if isinstance(input_data, str):
+        if not HAS_RDKIT:
+            raise RuntimeError("JSONL SMILES mode requires RDKit")
+        pairs = []
+        with open(input_data) as f:
+            for line in f:
+                d = json.loads(line)
+                pairs.append(
+                    (
+                        d["predict"].replace("##SMILES: ", ""),
+                        d["label"].replace("##SMILES: ", ""),
+                    )
+                )
+        true_mols, pred_mols = [], []
+        for pred_smiles, true_smiles in pairs:
+            t = canonical_mol_from_smiles(true_smiles)
+            p = canonical_mol_from_smiles(pred_smiles)
+            if t is not None and p is not None:
+                true_mols.append(t)
+                pred_mols.append(p)
+    else:
+        true_mols, pred_mols = input_data
+
+    if not true_mols:
+        logging.error("No valid mol objects available for evaluation!")
+        return None
+
+    solver = None
+    if HAS_MCES:
+        import pulp
+
+        solver = pulp.listSolvers(onlyAvailable=True)[0]
+
+    rows = {k: [] for k in ("inchikey_match", "mces", "tanimoto",
+                             "tanimoto_maccs", "cosine", "fraggle", "fg")}
+    for true_mol, pred_entry in zip(true_mols, pred_mols):
+        pred_mol = pred_entry[0] if isinstance(pred_entry, list) else pred_entry
+        if isinstance(true_mol, MolGraph) or not HAS_RDKIT:
+            scores = _pair_scores_graph(true_mol, pred_mol)
+        else:
+            scores = _pair_scores_rdkit(true_mol, pred_mol, solver)
+        for k, v in scores.items():
+            rows[k].append(v)
+
+    n = len(true_mols)
+    matches = [b for b in rows["inchikey_match"] if b is not None]
+    values = [
+        f"{sum(matches) / n:.4f}",
+        f"{np.nanmean(rows['mces']):.4f}",
+        f"{np.nanmean(rows['tanimoto']):.4f}",
+        f"{np.nanmean(rows['cosine']):.4f}",
+        f"{np.nanmean(rows['tanimoto_maccs']):.4f}",
+        f"{np.nanmean(rows['fraggle']):.4f}",
+        f"{np.nanmean(rows['fg']):.4f}",
+    ]
+    df = pd.DataFrame({"Evaluation Metric": METRIC_NAMES, "Value": values})
+    df.to_csv(output_csv, index=False, encoding="utf-8-sig")
+
+    detailed = {
+        "Top-1 Accuracy": rows["inchikey_match"],
+        "MCES": rows["mces"],
+        "Tanimoto Similarity (Morgan)": rows["tanimoto"],
+        "Cosine Similarity (Morgan)": rows["cosine"],
+        "Tanimoto Similarity (MACCS)": rows["tanimoto_maccs"],
+        "Fraggle Similarity": rows["fraggle"],
+        "Functional Group Similarity": rows["fg"],
+    }
+    pd.DataFrame(detailed).to_csv(
+        output_csv.replace(".csv", "_detailed_scores.csv"),
+        index=False,
+        encoding="utf-8-sig",
+    )
+    with open(output_csv.replace(".csv", "_detailed_scores.json"), "w") as f:
+        json.dump(
+            {k: [bool(x) if isinstance(x, (bool, np.bool_)) else x for x in v]
+             for k, v in detailed.items()},
+            f,
+            indent=2,
+        )
+    return df
+
+
+def compute_similarity_metrics(pred_mols, true_mols, eval_dir, ckpt, version_name):
+    """Pairwise similarity wrapper (ref run_lib.py:59-169): filters invalid
+    pairs, runs evaluate_jsonl_predictions, logs headline values."""
+    try:
+        valid_true, valid_pred = [], []
+        skipped = 0
+        for t, p in zip(true_mols, pred_mols):
+            if t is None or p is None:
+                skipped += 1
+                continue
+            if isinstance(p, MolGraph) and (p.n_atoms == 0 or not p.valence_ok()):
+                skipped += 1
+                continue
+            valid_true.append(t)
+            valid_pred.append([p])
+        logging.info(
+            "%s molecule pair statistics - Input: %d, Valid: %d, Skipped: %d",
+            version_name, min(len(pred_mols), len(true_mols)), len(valid_true),
+            skipped,
+        )
+        if not valid_true:
+            logging.warning(
+                "No valid %s molecule pairs found for similarity computation",
+                version_name,
+            )
+            return False
+        csv_path = os.path.join(
+            eval_dir, f"similarity_metrics_{version_name.lower()}_ckpt_{ckpt}.csv"
+        )
+        df = evaluate_jsonl_predictions((valid_true, valid_pred), csv_path)
+        if df is not None:
+            for _, row in df.iterrows():
+                logging.info(
+                    "%s %s: %s", version_name, row["Evaluation Metric"], row["Value"]
+                )
+        return True
+    except Exception as e:  # pragma: no cover
+        logging.error("Error computing %s similarity metrics: %s", version_name, e)
+        return False

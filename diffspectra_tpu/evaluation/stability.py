@@ -1,0 +1,228 @@
+"""EDM stability metrics: 3D (distance-inferred bonds) and 2D (generated
+bond tensor), with molecule construction.
+
+Rewrite of ref evaluation/stability.py:17-230. Bond inference and valence
+checks are pure numpy; when RDKit is present the same RWMol objects as the
+reference are built for the downstream metrics, otherwise ``MolGraph``
+stand-ins are produced and the fallback metric path is used.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from .bond_analyze import allowed_bonds, get_bond_order, geom_predictor
+from .molgraph import MolGraph
+from .rdkit_metric import HAS_RDKIT, eval_molgraphs, eval_rdmol
+
+if HAS_RDKIT:
+    from rdkit import Chem
+    from rdkit.Geometry import Point3D
+
+    BOND_LIST = [
+        None,
+        Chem.rdchem.BondType.SINGLE,
+        Chem.rdchem.BondType.DOUBLE,
+        Chem.rdchem.BondType.TRIPLE,
+        Chem.rdchem.BondType.AROMATIC,
+    ]
+    STABILITY_BONDS = {
+        Chem.rdchem.BondType.SINGLE: 1,
+        Chem.rdchem.BondType.DOUBLE: 2,
+        Chem.rdchem.BondType.TRIPLE: 3,
+        Chem.rdchem.BondType.AROMATIC: 1.5,
+    }
+
+
+def _build_rdkit_mol(atom_syms, positions, bond_orders, formal_charges=None, atom_fcs=None):
+    mol = Chem.RWMol()
+    for sym in atom_syms:
+        mol.AddAtom(Chem.Atom(sym))
+    if formal_charges is not None:
+        for idx, fc in enumerate(formal_charges):
+            fc = int(fc)
+            if fc != 0:
+                atom_fc = atom_syms[idx] + str(fc)
+                if atom_fcs is None or atom_fc in atom_fcs:
+                    mol.GetAtomWithIdx(idx).SetFormalCharge(fc)
+    if positions is not None:
+        conf = Chem.Conformer(mol.GetNumAtoms())
+        for i in range(mol.GetNumAtoms()):
+            conf.SetAtomPosition(
+                i, Point3D(float(positions[i][0]), float(positions[i][1]), float(positions[i][2]))
+            )
+        mol.AddConformer(conf)
+    n = len(atom_syms)
+    for i in range(n):
+        for j in range(i + 1, n):
+            order = int(bond_orders[i, j])
+            if order > 0:
+                mol.AddBond(i, j, BOND_LIST[order])
+    return mol
+
+
+def check_stability(positions, atom_type, dataset_info, debug: bool = False):
+    """3D stability: bonds inferred from pairwise distances
+    (ref stability.py:17-73). Returns (mol_stable, n_stable_bonds, n_atoms,
+    mol) where mol is an RDKit RWMol or a MolGraph."""
+    positions = np.asarray(positions)
+    atom_type = np.asarray(atom_type)
+    atom_decoder = dataset_info["atom_decoder"]
+    n = len(atom_type)
+    syms = [atom_decoder[int(a)] for a in atom_type]
+
+    nr_bonds = np.zeros(n, dtype=np.int64)
+    orders = np.zeros((n, n), dtype=np.int64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dist = float(np.linalg.norm(positions[i] - positions[j]))
+            if "QM9" in dataset_info["name"]:
+                order = get_bond_order(syms[i], syms[j], dist)
+            elif "Geom" in dataset_info["name"]:
+                pair = sorted([int(atom_type[i]), int(atom_type[j])])
+                order = geom_predictor(
+                    (atom_decoder[pair[0]], atom_decoder[pair[1]]), dist
+                )
+            else:
+                raise ValueError("Fail to get dataset bond info.")
+            orders[i, j] = orders[j, i] = order
+            nr_bonds[i] += order
+            nr_bonds[j] += order
+
+    nr_stable = 0
+    for sym, nb in zip(syms, nr_bonds):
+        possible = allowed_bonds[sym]
+        ok = possible == nb if isinstance(possible, int) else nb in possible
+        if not ok and debug:
+            print(f"Invalid bonds for molecule {sym} with {nb} bonds")
+        nr_stable += int(ok)
+
+    if HAS_RDKIT:
+        mol = _build_rdkit_mol(syms, positions, orders)
+    else:
+        mol = MolGraph(syms, np.zeros(n, np.int64), orders, positions)
+    return nr_stable == n, nr_stable, n, mol
+
+
+def check_2D_stability(positions, atom_types, formal_charges, edge_types, dataset_info):
+    """2D stability from the generated bond tensor with formal-charge-aware
+    valences (ref stability.py:76-161)."""
+    atom_types = np.asarray(atom_types)
+    edge_types = np.asarray(edge_types)
+    atom_decoder = dataset_info["atom_decoder"]
+    atom_fcs = dataset_info.get("atom_fc_num", {})
+    n = len(atom_types)
+    syms = [atom_decoder[int(a)] for a in atom_types]
+    fc = (
+        np.asarray(formal_charges).reshape(-1)[:n].astype(np.int64)
+        if formal_charges is not None and np.asarray(formal_charges).size
+        else np.zeros(n, np.int64)
+    )
+
+    if HAS_RDKIT:
+        mol = _build_rdkit_mol(syms, positions, edge_types, fc, atom_fcs)
+        import copy
+
+        new_mol = copy.deepcopy(mol)
+        try:
+            Chem.Kekulize(new_mol)
+        except Exception:
+            pass
+        nr_bonds = np.zeros(n, dtype=np.float64)
+        for bond in new_mol.GetBonds():
+            start, end = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
+            order = STABILITY_BONDS[bond.GetBondType()]
+            nr_bonds[start] += order
+            nr_bonds[end] += order
+    else:
+        mol = MolGraph(syms, fc, edge_types, positions)
+        value = {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 1.5}
+        nr_bonds = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            for j in range(i + 1, n):
+                o = value[int(edge_types[i, j])]
+                nr_bonds[i] += o
+                nr_bonds[j] += o
+
+    if dataset_info["name"] not in ["GeomDrug", "QM9"]:
+        return 0, 0, n, mol
+
+    from .bond_analyze import allowed_fc_bonds
+
+    nr_stable = 0
+    for sym, nb, f in zip(syms, nr_bonds, fc):
+        possible = allowed_fc_bonds[sym]
+        if isinstance(possible, int):
+            ok = possible == nb
+        elif isinstance(possible, dict):
+            expected = possible.get(int(f), possible.get(0))
+            ok = expected == nb if isinstance(expected, int) else nb in expected
+        else:
+            ok = nb in possible
+        nr_stable += int(ok)
+
+    return nr_stable == n, nr_stable, n, mol
+
+
+def _metric_from_checks(processed_list, check_fn, train_smiles, train_hashes):
+    molecule_stable = 0
+    nr_stable_bonds = 0
+    n_atoms = 0
+    mols = []
+    for mol in processed_list:
+        res = check_fn(mol)
+        molecule_stable += int(res[0])
+        nr_stable_bonds += int(res[1])
+        n_atoms += int(res[2])
+        mols.append(res[3])
+    stability_dict = {
+        "mol_stable": molecule_stable / float(len(processed_list)),
+        "atom_stable": nr_stable_bonds / float(max(n_atoms, 1)),
+    }
+    if HAS_RDKIT:
+        rdkit_dict = eval_rdmol(mols, train_smiles)
+    else:
+        rdkit_dict = eval_molgraphs(mols, train_hashes)
+    return stability_dict, rdkit_dict, mols
+
+
+def get_edm_metric(dataset_info, train_mols=None):
+    """3D EDM metric factory (ref stability.py:164-196)."""
+    train_smiles, train_hashes = _train_references(train_mols)
+
+    def edm_metric(processed_list):
+        return _metric_from_checks(
+            processed_list,
+            lambda m: check_stability(m[0], m[1], dataset_info),
+            train_smiles,
+            train_hashes,
+        )
+
+    return edm_metric
+
+
+def get_2D_edm_metric(dataset_info, train_mols=None):
+    """2D EDM metric factory (ref stability.py:199-230)."""
+    train_smiles, train_hashes = _train_references(train_mols)
+
+    def edm_metric_2d(processed_list):
+        return _metric_from_checks(
+            processed_list,
+            lambda m: check_2D_stability(m[0], m[1], m[3], m[2], dataset_info),
+            train_smiles,
+            train_hashes,
+        )
+
+    return edm_metric_2d
+
+
+def _train_references(train_mols):
+    if train_mols is None:
+        return None, None
+    if HAS_RDKIT and train_mols and not isinstance(train_mols[0], MolGraph):
+        return [Chem.MolToSmiles(m) for m in train_mols], None
+    if train_mols and isinstance(train_mols[0], MolGraph):
+        return None, {m.wl_hash() for m in train_mols}
+    return None, None

@@ -23,7 +23,7 @@ def make_parallel_train_step(step_fn, mesh: Mesh, axis_name: str = "data"):
         mesh=mesh,
         in_specs=(P(), P(axis_name), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -46,7 +46,7 @@ def make_parallel_sample_fn(sample_fn, mesh: Mesh, axis_name: str = "data"):
             mesh=mesh,
             in_specs=specs_in,
             out_specs=P(axis_name),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(sharded)(rng, *args)
 

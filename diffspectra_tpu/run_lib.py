@@ -1,0 +1,402 @@
+"""Train / evaluate orchestration pipelines.
+
+Rewrite of ref run_lib.py:172-459 in TPU terms: the training loop feeds
+host-collated fixed-shape batches into a jitted shard_map step over the
+device mesh; snapshot sampling runs the on-device lax.scan sampler with EMA
+parameters; all RDKit-dependent evaluation stays host-side.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import random
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import checkpoint as ckpt_lib
+from . import visualize
+from .data import get_dataset, get_batch_iterator, inf_iterator
+from .data.pipeline import augment_positions
+from .diffusion import NoiseScheduleVP
+from .evaluation import get_2D_edm_metric, get_edm_metric
+from .evaluation.molgraph import MolGraph, from_decoded
+from .models import ema as ema_lib
+from .parallel import create_mesh, make_parallel_train_step, replicate, shard_batch
+from .sampling.harness import make_cond_sampling_fn
+from .training import optim as optim_lib
+from .training.step import get_step_fn
+from .training.train_state import create_train_state
+from .utils.registry import create_model
+from .utils.scalers import get_data_inverse_scaler, get_data_scaler
+
+
+def set_random_seed(config):
+    seed = config.seed
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def resolve_runtime_config(config, n_devices: int):
+    """Device-count scaling, mirroring ref configs/diffspectra_qm9s.py:87-115
+    (which scales batch by GPU count and divides iteration counts)."""
+    t = config.training
+    with config.unlocked():
+        if t.get("num_devices", 0) == 0:
+            t.num_devices = n_devices
+        nd = t.num_devices
+        base = t.base_batch_size
+        if t.batch_size == 0:
+            t.batch_size = base * nd
+        if t.eval_batch_size == 0:
+            t.eval_batch_size = base * nd
+        if t.eval_samples == 0:
+            t.eval_samples = base * nd
+        if config.eval.batch_size == 0:
+            config.eval.batch_size = base * nd
+    return config
+
+
+def _init_model_and_state(config, sample_batch, rng):
+    model = create_model(config)
+    tx = optim_lib.get_optimizer(config)
+    n = config.data.max_node
+    bs = sample_batch["positions"].shape[0]
+    xh_dim = 3 + config.data.atom_types + int(config.model.include_fc_charge)
+    variables = model.init(
+        rng,
+        jnp.zeros((bs,)),
+        jnp.zeros((bs, n, xh_dim)),
+        jnp.asarray(sample_batch["atom_mask"])[..., None],
+        jnp.asarray(sample_batch["edge_mask"]),
+        sample_batch["context"],
+        edge_x=jnp.zeros((bs, n, n, config.model.edge_ch)),
+        noise_level=jnp.zeros((bs,)),
+    )
+    state = create_train_state(variables, tx, config.model.ema_decay)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    logging.info("model size: %.1fMB", n_params * 4 / 2**20)
+    return model, tx, state
+
+
+def _ema_variables(state):
+    v = {"params": ema_lib.params(state.ema)}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    return v
+
+
+def _augment_config(config):
+    # aug flags per model (ref build_dataset.py:62-70 intent; SURVEY defect
+    # note: reference only accepts legacy names — we map DMT/DMT_WO_EQ)
+    name = config.model.name
+    if name in ("DMT", "DiffSpectra_DMT", "DMT_WO_EQ"):
+        return True, True
+    return False, False
+
+
+def diffspectra_train(config, config_original_qm9, workdir):
+    """Training pipeline (ref run_lib.py:172-293)."""
+    config = resolve_runtime_config(config, len(jax.devices()))
+    sample_dir = os.path.join(workdir, "samples")
+    os.makedirs(sample_dir, exist_ok=True)
+
+    _, second_train_ds, val_ds, test_ds, dataset_info = get_dataset(config)
+    logging.info(
+        "datasets: train %d val %d test %d", len(second_train_ds), len(val_ds), len(test_ds)
+    )
+
+    spectra_version = config.data.spectra_version
+    batch_size = config.training.batch_size
+
+    def make_train_iter(epoch):
+        return get_batch_iterator(
+            second_train_ds, batch_size, spectra_version, shuffle=True,
+            seed=config.seed + epoch, drop_last=True,
+        )
+
+    train_iter = inf_iterator(make_train_iter)
+    first_batch = next(train_iter)
+
+    rng = jax.random.PRNGKey(config.seed)
+    rng, k_init = jax.random.split(rng)
+    model, tx, state = _init_model_and_state(config, first_batch, k_init)
+
+    noise_scheduler = NoiseScheduleVP(
+        config.sde.schedule,
+        continuous_beta_0=config.sde.continuous_beta_0,
+        continuous_beta_1=config.sde.continuous_beta_1,
+    )
+    scaler = get_data_scaler(config)
+    inverse_scaler = get_data_inverse_scaler(config)
+
+    # resume from preemption checkpoint (ref run_lib.py:204-215)
+    meta_dir = ckpt_lib.meta_checkpoint_dir(workdir)
+    ckpt_dir = os.path.join(workdir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = ckpt_lib.restore_checkpoint(meta_dir, state)
+    initial_step = int(state.step)
+    if initial_step == 0:
+        logging.info("%s", config)
+
+    mesh = create_mesh(config.training.num_devices)
+    n_dev = mesh.devices.size
+    use_mesh = n_dev > 1
+    if use_mesh:
+        step_fn = make_parallel_train_step(
+            get_step_fn(noise_scheduler, model, tx, scaler, config, True, "data"),
+            mesh,
+        )
+        state = replicate(mesh, state)
+    else:
+        step_fn = jax.jit(get_step_fn(noise_scheduler, model, tx, scaler, config))
+
+    aug_rot, aug_trans = _augment_config(config)
+
+    @jax.jit
+    def augment(key, positions, atom_mask):
+        return augment_positions(
+            key, positions, atom_mask, aug_rot, aug_trans,
+            config.data.aug_translation_scale,
+        )
+
+    if config.training.snapshot_sampling:
+        snapshot_sampling_fn = make_cond_sampling_fn(
+            config, model, noise_scheduler, config.training.eval_batch_size,
+            config.training.eval_samples, inverse_scaler, val_ds, fixed_seed=None,
+        )
+        edm_metric = get_edm_metric(dataset_info)
+        edm_metric_2d = get_2D_edm_metric(dataset_info)
+
+    num_train_steps = config.training.n_iters
+    log_freq = config.training.log_freq
+    t_last = time.time()
+    step_last = initial_step
+
+    for step in range(initial_step, num_train_steps + 1):
+        batch = next(train_iter)
+        rng, k_aug, k_step = jax.random.split(rng, 3)
+        batch = {k: v for k, v in batch.items() if k != "num_atom"}
+        batch["positions"] = augment(
+            k_aug, jnp.asarray(batch["positions"]), jnp.asarray(batch["atom_mask"])
+        )
+        if use_mesh:
+            batch = shard_batch(mesh, batch)
+        state, loss = step_fn(state, batch, k_step)
+
+        if step % log_freq == 0:
+            loss_val = float(loss)
+            dt = time.time() - t_last
+            tput = (step - step_last) * config.training.batch_size / dt if dt > 0 else 0
+            t_last, step_last = time.time(), step
+            logging.info(
+                "step: %d, training_loss: %.5e, graphs/sec: %.1f", step, loss_val, tput
+            )
+
+        if step != 0 and step % config.training.snapshot_freq_for_preemption == 0:
+            ckpt_lib.save_checkpoint(meta_dir, jax.device_get(state))
+
+        if step != 0 and (
+            step % config.training.snapshot_freq == 0 or step == num_train_steps
+        ):
+            save_step = step // config.training.snapshot_freq
+            ckpt_lib.save_checkpoint(
+                ckpt_lib.numbered_checkpoint_dir(workdir, save_step),
+                jax.device_get(state),
+            )
+
+            if config.training.snapshot_sampling:
+                rng, k_samp = jax.random.split(rng)
+                host_state = jax.device_get(state)
+                processed_mols, gt_pos, gt_mols = snapshot_sampling_fn(
+                    _ema_variables(host_state), k_samp
+                )
+                stability_res, rdkit_res, sample_mols = edm_metric(processed_mols)
+                logging.info(
+                    "step: %d, n_mol: %d, 3D atom stability: %.4f, mol stability: "
+                    "%.4f, validity: %.4f, complete: %.4f, unique & valid: %.4f",
+                    step, len(sample_mols), stability_res["atom_stable"],
+                    stability_res["mol_stable"], rdkit_res["Validity"],
+                    rdkit_res["Complete"], rdkit_res["Unique"],
+                )
+                stability_res, rdkit_res, complete_mols = edm_metric_2d(processed_mols)
+                logging.info(
+                    "step: %d, n_mol: %d, 2D atom stability: %.4f, mol stability: "
+                    "%.4f, validity: %.4f, complete: %.4f, unique & valid: %.4f",
+                    step, len(sample_mols), stability_res["atom_stable"],
+                    stability_res["mol_stable"], rdkit_res["Validity"],
+                    rdkit_res["Complete"], rdkit_res["Unique"],
+                )
+                this_sample_dir = os.path.join(sample_dir, f"iter_{step}")
+                visualize.visualize_mols(sample_mols, this_sample_dir, config)
+                gt_dir = os.path.join(sample_dir, f"iter_{step}_gt")
+                atom_decoder = dataset_info["atom_decoder"]
+                gt_graphs = [from_decoded(m, atom_decoder) for m in gt_mols]
+                visualize.visualize_mols(gt_graphs, gt_dir, config)
+
+    return state
+
+
+def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval"):
+    """Evaluation pipeline (ref run_lib.py:297-441)."""
+    config = resolve_runtime_config(config, len(jax.devices()))
+    eval_dir = os.path.join(workdir, eval_folder)
+    os.makedirs(eval_dir, exist_ok=True)
+
+    _, second_train_ds, val_ds, test_ds, dataset_info = get_dataset(config)
+
+    # one batch to initialise shapes
+    init_iter = get_batch_iterator(
+        test_ds, min(config.eval.batch_size, len(test_ds)),
+        config.data.spectra_version, shuffle=False, drop_last=False,
+    )
+    first_batch = next(init_iter)
+    rng = jax.random.PRNGKey(config.seed)
+    rng, k_init = jax.random.split(rng)
+    model, tx, state = _init_model_and_state(config, first_batch, k_init)
+
+    noise_scheduler = NoiseScheduleVP(
+        config.sde.schedule,
+        continuous_beta_0=config.sde.continuous_beta_0,
+        continuous_beta_1=config.sde.continuous_beta_1,
+    )
+    inverse_scaler = get_data_inverse_scaler(config)
+
+    ckpts = config.eval.ckpts
+    if ckpts != "":
+        ckpts = [int(c) for c in ckpts.split(",")]
+    else:
+        ckpts = list(range(config.eval.begin_ckpt, config.eval.end_ckpt + 1))
+
+    sampling_fn = make_cond_sampling_fn(
+        config, model, noise_scheduler, config.eval.batch_size,
+        config.eval.num_samples, inverse_scaler, test_ds, fixed_seed=42,
+        sampling_temperature=config.eval.sampling_temperature,
+    )
+
+    atom_decoder = dataset_info["atom_decoder"]
+    logging.info("loading training mols")
+    train_rows = second_train_ds.take(np.arange(len(second_train_ds)))
+    train_graphs = _rows_to_molgraphs(train_rows, atom_decoder)
+    logging.info("loading test mols")
+    test_rows = test_ds.take(np.arange(len(test_ds)))
+    test_graphs = _rows_to_molgraphs(test_rows, atom_decoder)
+
+    edm_metric = get_edm_metric(dataset_info, train_graphs)
+    edm_metric_2d = get_2D_edm_metric(dataset_info, train_graphs)
+
+    from .evaluation.mose_metric import get_moses_metrics
+    from .evaluation.cal_geometry import get_sub_geometry_metric
+    from .evaluation import compute_metrics as cm
+
+    mose_metric = get_moses_metrics(test_graphs)
+    if config.eval.sub_geometry:
+        sub_geo_metric = get_sub_geometry_metric(
+            test_graphs, dataset_info, config.data.root
+        )
+
+    for ckpt in ckpts:
+        ckpt_path = ckpt_lib.numbered_checkpoint_dir(workdir, ckpt)
+        if not os.path.exists(ckpt_path):
+            raise FileNotFoundError("Checkpoint path error: " + ckpt_path)
+        logging.info("load checkpoint: %s", ckpt_path)
+        state = ckpt_lib.restore_checkpoint(ckpt_path, state)
+
+        if config.eval.enable_sampling:
+            logging.info("Sampling -- ckpt: %d", ckpt)
+            rng, k_samp = jax.random.split(rng)
+            processed_mols, gt_pos, gt_mols = sampling_fn(
+                _ema_variables(jax.device_get(state)), k_samp
+            )
+            logging.info("Sampling accomplished")
+
+            stability_res, rdkit_res, sample_mols = edm_metric(processed_mols)
+            logging.info(
+                "Metric-3D || atom stability: %.4f, mol stability: %.4f, "
+                "validity: %.4f, complete: %.4f,",
+                stability_res["atom_stable"], stability_res["mol_stable"],
+                rdkit_res["Validity"], rdkit_res["Complete"],
+            )
+            mose_res = mose_metric(sample_mols)
+            logging.info("Metric-3D || FCD: %.4f", mose_res["FCD"])
+
+            stability_res, rdkit_res, complete_mols = edm_metric_2d(processed_mols)
+            logging.info(
+                "Metric-2D || atom stability: %.4f, mol stability: %.4f, "
+                "validity: %.4f, complete: %.4f, unique & valid: %.4f, "
+                "unique & valid & novelty: %.4f",
+                stability_res["atom_stable"], stability_res["mol_stable"],
+                rdkit_res["Validity"], rdkit_res["Complete"], rdkit_res["Unique"],
+                rdkit_res["Novelty"],
+            )
+            mose_res = mose_metric(complete_mols)
+            logging.info(
+                "Metric-2D || FCD: %.4f, SNN: %.4f, Frag: %.4f, Scaf: %.4f, "
+                "IntDiv: %.4f",
+                mose_res["FCD"], mose_res["SNN"], mose_res["Frag"],
+                mose_res["Scaf"], mose_res["IntDiv"],
+            )
+
+            if config.eval.sub_geometry:
+                sub_geo_res = sub_geo_metric(complete_mols)
+                logging.info(
+                    "Metric-Align || Bond Length MMD: %.4f, Bond Angle MMD: "
+                    "%.4f, Dihedral Angle MMD: %.6f",
+                    sub_geo_res["bond_length_mean"], sub_geo_res["bond_angle_mean"],
+                    sub_geo_res["dihedral_angle_mean"],
+                )
+
+            gt_graphs = [from_decoded(m, atom_decoder) for m in gt_mols]
+            cm.compute_similarity_metrics(
+                sample_mols, gt_graphs, eval_dir, ckpt, "3D"
+            )
+            cm.compute_similarity_metrics(
+                complete_mols, gt_graphs, eval_dir, ckpt, "2D"
+            )
+
+            if config.eval.save_mols.lower() == "true":
+                import pickle
+
+                analysis_dir = os.path.join(eval_dir, f"molecules_ckpt_{ckpt}")
+                os.makedirs(analysis_dir, exist_ok=True)
+                with open(os.path.join(analysis_dir, "sample_rdmols_3d.pkl"), "wb") as f:
+                    pickle.dump(sample_mols, f)
+                with open(os.path.join(analysis_dir, "complete_rdmols_2d.pkl"), "wb") as f:
+                    pickle.dump(complete_mols, f)
+                with open(os.path.join(analysis_dir, "groundtruth_rdmols.pkl"), "wb") as f:
+                    pickle.dump(gt_mols, f)
+
+
+def _rows_to_molgraphs(rows, atom_decoder):
+    out = []
+    for i in range(len(rows["num_atom"])):
+        n = int(rows["num_atom"][i])
+        out.append(
+            from_decoded(
+                (
+                    rows["positions"][i][:n],
+                    rows["atom_type"][i][:n],
+                    rows["edge_type"][i][:n, :n],
+                    rows["formal_charges"][i][:n, 0].astype(np.int64),
+                ),
+                atom_decoder,
+            )
+        )
+    return out
+
+
+run_train_dict = {"diffspectra": diffspectra_train}
+run_eval_dict = {"diffspectra": diffspectra_evaluate}
+
+
+def train(config, config_original_qm9, workdir):
+    run_train_dict[config.exp_type](config, config_original_qm9, workdir)
+
+
+def evaluate(config, config_original_qm9, workdir, eval_folder="eval"):
+    run_eval_dict[config.exp_type](config, config_original_qm9, workdir, eval_folder)

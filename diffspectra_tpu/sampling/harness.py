@@ -1,0 +1,164 @@
+"""Conditional sampling harnesses: draw real spectra + true atom counts from
+a dataset split, run the on-device reverse diffusion, decode molecules.
+
+Rewrite of ref sampling.py:148-550 (``get_sampling_fn`` /
+``get_cond_sampling_eval_fn``). Differences by design:
+
+- masks are built for the fixed ``data.max_node`` N instead of the
+  per-round max (static shapes; mask-invariant numerics),
+- the reverse loop is one jitted ``lax.scan`` (no per-step host dispatch),
+- spectra are encoded once per round, not once per step,
+- the eval permutation is fixed with seed 42 like the reference
+  (ref sampling.py:387), via numpy instead of torch.
+
+Ground truth returned per molecule: (positions, atom_type, edge_type, fc)
+numpy tuples (the RDKit mol objects of the reference are reconstructed
+host-side by the evaluation stack when RDKit is available).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.dmt import encode_context
+from ..utils import masks as M
+from ..utils.scalers import get_self_cond_fn
+from .ancestral import AncestralSampler, make_time_steps
+from .decode import mol_process, post_process
+
+
+def _gather_context(rows, spectra_version):
+    if spectra_version == "allspectra":
+        return tuple(rows[k] for k in ("uv", "ir", "raman"))
+    return rows[spectra_version]
+
+
+def make_cond_sampling_fn(
+    config,
+    model,
+    noise_scheduler,
+    batch_size: int,
+    n_samples: int,
+    inverse_scaler,
+    ds,
+    eps: float = 1e-3,
+    fixed_seed: Optional[int] = 42,
+    sampling_temperature: Optional[float] = None,
+):
+    """Returns ``sampling_fn(variables, rng) -> (pred_mols, gt_pos, gt_mols)``.
+
+    ``fixed_seed=42`` reproduces the eval harness (ref sampling.py:387);
+    pass ``None`` for the training-snapshot variant (fresh permutation per
+    call, ref sampling.py:180).
+    """
+    atom_types = config.data.atom_types
+    include_fc = bool(config.model.include_fc_charge)
+    node_nf = atom_types + int(include_fc)
+    pred_edge = config.pred_edge
+    edge_nf = config.model.edge_ch
+    compress_edge = config.data.compress_edge
+    self_cond = config.model.self_cond
+    only_2d = config.only_2D
+    spectra_version = config.data.spectra_version
+    max_n = config.data.max_node
+    steps = config.sampling.steps
+    if sampling_temperature is None:
+        sampling_temperature = 1.0
+    if config.sampling.method != "ancestral":
+        raise ValueError("Invalid sampling method!")
+
+    time_steps = make_time_steps(noise_scheduler, steps, eps)
+    sampler = AncestralSampler(
+        noise_scheduler,
+        time_steps,
+        config.model.pred_data,
+        pred_edge=pred_edge,
+        self_cond=self_cond,
+        cond_process_fn=get_self_cond_fn(config),
+        sampling_temperature=sampling_temperature,
+        only_2d=only_2d,
+    )
+    num_rounds = int(math.ceil(n_samples / batch_size))
+
+    def _round(variables, rng, context, n_nodes):
+        """One jitted sampling round for a fixed (batch_size, max_n)."""
+        node_mask, edge_mask = M.build_masks(n_nodes, max_n)
+        k_z, k_e, k_s = jax.random.split(rng, 3)
+        if only_2d:
+            z = M.sample_gaussian_with_mask(
+                k_z, (batch_size, max_n, node_nf), node_mask
+            )
+        else:
+            z = M.sample_combined_position_feature_noise(
+                k_z, batch_size, max_n, node_nf, node_mask
+            )
+        edge_z = M.sample_symmetric_edge_feature_noise(
+            k_e, batch_size, max_n, edge_nf, edge_mask
+        )
+
+        ctx_emb = encode_context(model, variables, context)
+
+        def model_apply(t, x, nm, em, edge_x, nl, cond_x, cond_edge_x, has_cond, c_emb):
+            return model.apply(
+                variables, t, x, nm, em, None,
+                edge_x=edge_x, noise_level=nl, cond_x=cond_x,
+                cond_edge_x=cond_edge_x, has_cond=has_cond, context_emb=c_emb,
+            )
+
+        x_node, x_edge = sampler.sampling(
+            model_apply, k_s, z, node_mask, edge_mask, edge_z, ctx_emb
+        )
+        return post_process(
+            x_node, atom_types, include_fc, node_mask, inverse_scaler,
+            x_edge, edge_mask, compress_edge, has_positions=not only_2d,
+        )
+
+    round_jit = jax.jit(_round)
+
+    def sampling_fn(variables, rng):
+        n = len(ds)
+        if fixed_seed is not None:
+            perm = np.random.default_rng(fixed_seed).permutation(n)
+        else:
+            seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
+            perm = np.random.default_rng(seed).permutation(n)
+
+        processed: List = []
+        gt_pos: List = []
+        gt_mols: List = []
+        for r in range(num_rounds):
+            rows = perm[r * batch_size : (r + 1) * batch_size]
+            if len(rows) < batch_size:  # wrap to keep static shapes
+                rows = np.concatenate([rows, perm[: batch_size - len(rows)]])
+            data = ds.take(rows)
+            context = _gather_context(data, spectra_version)
+            n_nodes = jnp.asarray(data["num_atom"])
+
+            rng, k = jax.random.split(rng)
+            out = round_jit(variables, k, context, n_nodes)
+            if pred_edge:
+                pos, one_hot, fc, edge_types = out
+                processed += mol_process(one_hot, pos, fc, data["num_atom"], edge_types)
+            else:
+                pos, one_hot, fc = out
+                processed += mol_process(one_hot, pos, fc, data["num_atom"])
+
+            for i in range(len(rows)):
+                na = int(data["num_atom"][i])
+                gt_pos.append(np.asarray(data["positions"][i][:na]))
+                gt_mols.append(
+                    (
+                        np.asarray(data["positions"][i][:na]),
+                        np.asarray(data["atom_type"][i][:na]),
+                        np.asarray(data["edge_type"][i][:na, :na]),
+                        np.asarray(data["formal_charges"][i][:na, 0]).astype(np.int64),
+                    )
+                )
+        return processed[:n_samples], gt_pos[:n_samples], gt_mols[:n_samples]
+
+    return sampling_fn

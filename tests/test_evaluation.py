@@ -1,0 +1,178 @@
+"""Evaluation-stack tests: stability, metrics, geometry, similarity, RMSD."""
+
+import numpy as np
+import pytest
+
+from diffspectra_tpu.data.info import get_dataset_info
+from diffspectra_tpu.evaluation import get_2D_edm_metric, get_edm_metric
+from diffspectra_tpu.evaluation.bond_analyze import get_bond_order
+from diffspectra_tpu.evaluation.cal_geometry import (
+    cal_bond_angle,
+    cal_bond_distance,
+    cal_dihedral_angle,
+)
+from diffspectra_tpu.evaluation.mmd import compute_mmd
+from diffspectra_tpu.evaluation.molgraph import MolGraph
+from diffspectra_tpu.evaluation.rmsd import hungarian_atom_mapping, hungarian_rmsd_batch
+from diffspectra_tpu.evaluation.stability import check_2D_stability, check_stability
+
+INFO = get_dataset_info("qm9_second_half")
+
+
+def methane():
+    """CH4 with tetrahedral geometry — stable molecule."""
+    d = 1.09 / np.sqrt(3)
+    pos = np.array(
+        [[0, 0, 0], [d, d, d], [d, -d, -d], [-d, d, -d], [-d, -d, d]], dtype=float
+    )
+    atom_type = np.array([1, 0, 0, 0, 0])  # C,H,H,H,H
+    edges = np.zeros((5, 5), dtype=np.int64)
+    for i in range(1, 5):
+        edges[0, i] = edges[i, 0] = 1
+    return pos, atom_type, edges
+
+
+def test_bond_order_thresholds():
+    assert get_bond_order("C", "H", 1.09) == 1
+    assert get_bond_order("C", "H", 2.0) == 0
+    assert get_bond_order("C", "C", 1.20) == 3
+    assert get_bond_order("C", "C", 1.33) == 2
+    assert get_bond_order("C", "C", 1.52) == 1
+    assert get_bond_order("C", "O", 1.14) == 3  # 113+3=116pm threshold
+
+
+def test_check_stability_methane():
+    pos, at, _ = methane()
+    stable, n_stable, n, mol = check_stability(pos, at, INFO)
+    assert stable
+    assert n_stable == 5 and n == 5
+
+
+def test_check_2d_stability_methane():
+    pos, at, edges = methane()
+    stable, n_stable, n, mol = check_2D_stability(pos, at, np.zeros(5), edges, INFO)
+    assert stable
+
+
+def test_edm_metrics_run():
+    pos, at, edges = methane()
+    mols = [(pos, at, edges, np.zeros(5, np.int64))] * 3
+    stability, rdkit_res, rd_mols = get_edm_metric(INFO)(mols)
+    assert stability["mol_stable"] == 1.0
+    assert rdkit_res["Validity"] == 1.0
+    assert rdkit_res["Complete"] == 1.0
+    stability2, rdkit2, _ = get_2D_edm_metric(INFO)(mols)
+    assert stability2["mol_stable"] == 1.0
+    # 3 identical molecules -> 1 unique / 3
+    assert abs(rdkit2["Unique"] - 1 / 3) < 1e-6
+
+
+def test_molgraph_hash_isomorphism_invariant():
+    pos, at, edges = methane()
+    g1 = MolGraph(["C", "H", "H", "H", "H"], np.zeros(5, np.int64), edges, pos)
+    # permute atoms: H first
+    perm = np.array([1, 0, 2, 3, 4])
+    g2 = MolGraph(
+        [g1.atom_syms[i] for i in perm],
+        g1.formal_charges[perm],
+        edges[np.ix_(perm, perm)],
+        pos[perm],
+    )
+    assert g1.wl_hash() == g2.wl_hash()
+    # different molecule -> different hash
+    edges3 = edges.copy()
+    edges3[1, 2] = edges3[2, 1] = 1
+    g3 = MolGraph(g1.atom_syms, g1.formal_charges, edges3, pos)
+    assert g1.wl_hash() != g3.wl_hash()
+
+
+def test_geometry_distributions():
+    pos, at, edges = methane()
+    g = MolGraph(["C", "H", "H", "H", "H"], np.zeros(5, np.int64), edges, pos)
+    bd = cal_bond_distance([g], ["C1H"])
+    assert len(bd["C1H"]) == 4
+    np.testing.assert_allclose(bd["C1H"], 1.09, rtol=1e-5)
+    # NOTE: angle enumeration pairs each bond only with bonds of its END atom
+    # (mirrors ref get_bond_pairs, cal_geometry.py:46-59): methane with all
+    # bonds oriented C->H therefore yields no angle pairs, exactly like the
+    # reference over an RWMol built with AddBond(0, i).
+    ang0 = cal_bond_angle([g], ["H1C-C1H"])
+    assert len(ang0["H1C-C1H"]) == 0
+
+    # chain H0-C1-C2-H3: angles and a dihedral are enumerable
+    chain_pos = np.array(
+        [[-1.09, 0.4, 0.0], [0.0, 0.0, 0.0], [1.54, 0.0, 0.0], [2.63, 0.4, 0.3]]
+    )
+    chain_edges = np.zeros((4, 4), dtype=np.int64)
+    for i in range(3):
+        chain_edges[i, i + 1] = chain_edges[i + 1, i] = 1
+    gc = MolGraph(["H", "C", "C", "H"], np.zeros(4, np.int64), chain_edges, chain_pos)
+    ang = cal_bond_angle([gc], ["H1C-C1C"])
+    assert len(ang["H1C-C1C"]) >= 1
+    want = np.degrees(
+        np.arccos(
+            np.dot(chain_pos[0] - chain_pos[1], chain_pos[2] - chain_pos[1])
+            / (np.linalg.norm(chain_pos[0] - chain_pos[1]) * 1.54)
+        )
+    )
+    np.testing.assert_allclose(ang["H1C-C1C"][0], want, atol=1e-4)
+    dih = cal_dihedral_angle([gc], ["H1C-C1C-C1H"])
+    assert len(dih["H1C-C1C-C1H"]) == 1
+
+
+def test_mmd_zero_for_identical():
+    x = np.random.default_rng(0).normal(size=200)
+    assert abs(compute_mmd(x, x)) < 1e-6
+    y = x + 5.0
+    assert compute_mmd(x, y) > 0.1
+
+
+def test_hungarian_rmsd_recovers_rotation():
+    pos, at, edges = methane()
+    g1 = MolGraph(["C", "H", "H", "H", "H"], np.zeros(5, np.int64), edges, pos)
+    # rotate + permute
+    theta = 0.7
+    R = np.array(
+        [[np.cos(theta), -np.sin(theta), 0], [np.sin(theta), np.cos(theta), 0], [0, 0, 1]]
+    )
+    perm = np.array([2, 0, 1, 4, 3])
+    g2 = MolGraph(
+        [g1.atom_syms[i] for i in perm],
+        g1.formal_charges[perm],
+        edges[np.ix_(perm, perm)],
+        (pos @ R.T)[perm],
+    )
+    amap, rmsd, acc = hungarian_atom_mapping(g1, g2)
+    assert rmsd is not None and rmsd < 1e-5
+    assert acc == 1.0
+
+    rmsds, rate, mean_rmsd, mean_acc = hungarian_rmsd_batch([g1], [g2])
+    assert rate == 1.0
+    assert mean_rmsd < 1e-5
+
+
+def test_similarity_metrics_csv(tmp_path):
+    from diffspectra_tpu.evaluation.compute_metrics import compute_similarity_metrics
+
+    pos, at, edges = methane()
+    g = MolGraph(["C", "H", "H", "H", "H"], np.zeros(5, np.int64), edges, pos)
+    ok = compute_similarity_metrics([g, g], [g, g], str(tmp_path), 1, "3D")
+    assert ok
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "similarity_metrics_3d_ckpt_1.csv")
+    row = df[df["Evaluation Metric"] == "Top-1 Accuracy"]["Value"].iloc[0]
+    assert float(row) == 1.0
+
+
+def test_mose_metrics_run():
+    from diffspectra_tpu.evaluation.mose_metric import get_moses_metrics
+
+    pos, at, edges = methane()
+    g = MolGraph(["C", "H", "H", "H", "H"], np.zeros(5, np.int64), edges, pos)
+    metric = get_moses_metrics([g] * 5)
+    res = metric([g] * 3)
+    assert res["SNN"] == pytest.approx(1.0)
+    assert res["Frag"] == pytest.approx(1.0)
+    assert np.isfinite(res["FCD"])
+    assert res["weight"] == pytest.approx(16.043, abs=0.01)
