@@ -78,6 +78,17 @@ def _init_model_and_state(config, sample_batch, rng):
         edge_x=jnp.zeros((bs, n, n, config.model.edge_ch)),
         noise_level=jnp.zeros((bs,)),
     )
+    if config.model.get("pretrained_specformer_path", ""):
+        from .models.pretrained import load_pretrained_specformer
+
+        logging.info("Load pretrained SpecFormer")
+        variables = load_pretrained_specformer(
+            dict(variables),
+            config.model.pretrained_specformer_path,
+            config.data.spectra_version,
+        )
+    else:
+        logging.info("Train SpecFormer from scratch")
     state = create_train_state(variables, tx, config.model.ema_decay)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     logging.info("model size: %.1fMB", n_params * 4 / 2**20)
