@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Evaluation recipes mirroring ref scripts/test_scripts.sh (10k-sample
+# conditional generation + full metric suite at checkpoint 40).
+
+set -e
+CFG=diffspectra_tpu/configs/diffspectra_qm9s.py
+
+python -m diffspectra_tpu.main --config $CFG --workdir exp/ir --mode eval \
+    --config.data.spectra_version ir
+python -m diffspectra_tpu.main --config $CFG --workdir exp/raman --mode eval \
+    --config.data.spectra_version raman
+python -m diffspectra_tpu.main --config $CFG --workdir exp/uv --mode eval \
+    --config.data.spectra_version uv
+python -m diffspectra_tpu.main --config $CFG --workdir exp/allspectra --mode eval \
+    --config.data.spectra_version allspectra
+python -m diffspectra_tpu.main --config $CFG \
+    --workdir exp/allspectra_pretrained_specformer --mode eval \
+    --config.data.spectra_version allspectra \
+    --config.model.pretrained_specformer_path exp/pretrained_specformer.ckpt
