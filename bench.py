@@ -34,6 +34,11 @@ PROTOCOL_STEPS = 1000
 
 def main():
     import jax
+
+    # persistent compilation cache: the ~5 min scan compile happens once per
+    # machine, later invocations hit the cache
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import jax.numpy as jnp
 
     from diffspectra_tpu.configs import diffspectra_qm9s

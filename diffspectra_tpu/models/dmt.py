@@ -45,29 +45,39 @@ class MultiCondEquiUpdate(nn.Module):
     dist_dim: int
     time_dim: int
     extra_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h, pos, edge_attr, dist, time_emb, adj_extra, edge_mask):
         B, N, _ = h.shape
         # invariant pair input: [h_i, h_j, e_ij, dist_ij]
+        h = h.astype(self.dtype)
         h_i = jnp.broadcast_to(h[:, :, None, :], (B, N, N, h.shape[-1]))
         h_j = jnp.broadcast_to(h[:, None, :, :], (B, N, N, h.shape[-1]))
-        h_input = jnp.concatenate([h_i, h_j, edge_attr, dist], axis=-1)
+        h_input = jnp.concatenate(
+            [h_i, h_j, edge_attr.astype(self.dtype), dist.astype(self.dtype)],
+            axis=-1,
+        )
 
+        # position math stays f32 (bf16 squared distances lose precision)
         coord_diff = pos[:, :, None, :] - pos[:, None, :, :]  # [B,N,N,3]
         coord_diff = CoorsNorm(scale_init=1e-2, name="coord_norm")(coord_diff)
 
-        inv = nn.Dense(self.hidden_dim, name="input_lin")(h_input)
+        inv = nn.Dense(self.hidden_dim, dtype=self.dtype, name="input_lin")(h_input)
         inv = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ln")(inv)
         if time_emb is not None:
             # NB chunk order here is (shift, scale) — ref models/dmt.py:44
-            ss = nn.Dense(self.hidden_dim * 2, name="time_mlp")(nn.silu(time_emb))
+            ss = nn.Dense(self.hidden_dim * 2, dtype=self.dtype, name="time_mlp")(
+                nn.silu(time_emb.astype(self.dtype))
+            )
             shift, scale = jnp.split(ss, 2, axis=-1)
             inv = modulate(inv, shift[:, None, None, :], scale[:, None, None, :])
-        inv = nn.Dense(self.hidden_dim, name="coord_mlp_0")(inv)
+        inv = nn.Dense(self.hidden_dim, dtype=self.dtype, name="coord_mlp_0")(inv)
         inv = nn.silu(inv)
-        inv = nn.Dense(1 + self.extra_heads, use_bias=False, name="coord_mlp_1")(inv)
-        inv = jnp.tanh(inv)
+        inv = nn.Dense(
+            1 + self.extra_heads, use_bias=False, dtype=self.dtype, name="coord_mlp_1"
+        )(inv)
+        inv = jnp.tanh(inv).astype(jnp.float32)
 
         # multi-channel adjacency gating: [1, adj_extra...] mean over channels
         ones = jnp.ones_like(adj_extra[..., :1])
@@ -94,6 +104,7 @@ class EquivariantMixBlock(nn.Module):
     mlp_ratio: int = 2
     dropout: float = 0.0
     gbf_name: str = "CondGaussianLayer"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -118,8 +129,10 @@ class EquivariantMixBlock(nn.Module):
             distance = _GBF_LAYERS[self.gbf_name](
                 dist_dim, self.time_dim, name="dist_layer"
             )(distance, edge_time_emb)
-        edge_attr = nn.Dense(self.edge_dim, name="edge_emb")(
-            jnp.concatenate([distance, edge_attr], axis=-1)
+        edge_attr = nn.Dense(self.edge_dim, dtype=self.dtype, name="edge_emb")(
+            jnp.concatenate(
+                [distance.astype(self.dtype), edge_attr.astype(self.dtype)], axis=-1
+            )
         )
 
         ln = lambda name: nn.LayerNorm(
@@ -128,15 +141,15 @@ class EquivariantMixBlock(nn.Module):
 
         if self.cond_time:
             node_mods = jnp.split(
-                nn.Dense(self.node_dim * 6, name="node_time_mlp")(
-                    nn.silu(node_time_emb)
+                nn.Dense(self.node_dim * 6, dtype=self.dtype, name="node_time_mlp")(
+                    nn.silu(node_time_emb.astype(self.dtype))
                 ),
                 6,
                 axis=-1,
             )
             edge_mods = jnp.split(
-                nn.Dense(self.edge_dim * 6, name="edge_time_mlp")(
-                    nn.silu(edge_time_emb)
+                nn.Dense(self.edge_dim * 6, dtype=self.dtype, name="edge_time_mlp")(
+                    nn.silu(edge_time_emb.astype(self.dtype))
                 ),
                 6,
                 axis=-1,
@@ -159,22 +172,24 @@ class EquivariantMixBlock(nn.Module):
             heads=self.num_heads,
             dropout=self.dropout,
             set_inf=self.softmax_inf,
+            dtype=self.dtype,
             name="attn_mpnn",
         )(h, edge_attr, extra_heads, edge_mask, deterministic=deterministic)
 
         # node -> edge update (ref :156-157)
         h_edge = h_node[:, :, None, :] + h_node[:, None, :, :]
-        h_edge = nn.Dense(self.edge_dim, name="node2edge_lin")(h_edge)
+        h_edge = nn.Dense(self.edge_dim, dtype=self.dtype, name="node2edge_lin")(h_edge)
+        h_edge = h_edge.astype(jnp.float32)
 
         dropout = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         def ff_node(x):
-            x = dropout(nn.silu(nn.Dense(self.node_dim * self.mlp_ratio, name="ff_linear1")(x)))
-            return dropout(nn.Dense(self.node_dim, name="ff_linear2")(x))
+            x = dropout(nn.silu(nn.Dense(self.node_dim * self.mlp_ratio, dtype=self.dtype, name="ff_linear1")(x)))
+            return dropout(nn.Dense(self.node_dim, dtype=self.dtype, name="ff_linear2")(x).astype(jnp.float32))
 
         def ff_edge(x):
-            x = dropout(nn.silu(nn.Dense(self.edge_dim * self.mlp_ratio, name="ff_linear3")(x)))
-            return dropout(nn.Dense(self.edge_dim, name="ff_linear4")(x))
+            x = dropout(nn.silu(nn.Dense(self.edge_dim * self.mlp_ratio, dtype=self.dtype, name="ff_linear3")(x)))
+            return dropout(nn.Dense(self.edge_dim, dtype=self.dtype, name="ff_linear4")(x).astype(jnp.float32))
 
         if self.cond_time:
             h_node = h_in_node + n_gate_msa * h_node
@@ -198,6 +213,7 @@ class EquivariantMixBlock(nn.Module):
             dist_dim,
             self.time_dim,
             self.num_extra_heads,
+            dtype=self.dtype,
             name="equi_update",
         )(h_out, pos, h_edge_out, distance, edge_time_emb, extra_heads, edge_mask)
 
@@ -244,10 +260,19 @@ class DMT(nn.Module):
     spectra_version: str = "ir"
     patch_len: tuple = (20, 50, 50)
     stride: tuple = (10, 25, 25)
+    dtype: jnp.dtype = jnp.float32
 
     @staticmethod
     def from_config(config):
+        import jax.numpy as _jnp
+
+        dtype = (
+            _jnp.bfloat16
+            if config.training.get("matmul_precision", "") == "bfloat16"
+            else _jnp.float32
+        )
         return DMT(
+            dtype=dtype,
             in_node_dim=config.data.atom_types + int(config.model.include_fc_charge),
             hidden_dim=config.model.nf,
             edge_hidden_dim=config.model.nf // 4,
@@ -358,8 +383,11 @@ class DMT(nn.Module):
         extra_adj = jnp.concatenate([cond_adj_2d, cond_adj_spatial], axis=-1)
         edge_attr = jnp.concatenate([edge_x, cond_edge_x, distances], axis=-1)
 
-        h = nn.Dense(self.hidden_dim, name="node_emb")(h)
-        edge_attr = nn.Dense(self.edge_hidden_dim, name="edge_emb")(edge_attr)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="node_emb")(h)
+        h = h.astype(jnp.float32)
+        edge_attr = nn.Dense(self.edge_hidden_dim, dtype=self.dtype, name="edge_emb")(
+            edge_attr.astype(self.dtype)
+        ).astype(jnp.float32)
 
         cat_node_dim = (self.hidden_dim * 2) // self.n_layers
         cat_edge_dim = (self.edge_hidden_dim * 2) // self.n_layers
@@ -379,6 +407,7 @@ class DMT(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout,
                 gbf_name=self.gbf_name,
+                dtype=self.dtype,
                 name=f"e_block_{i}",
             )(
                 pos, h, edge_attr, node_mask, edge_mask, extra_adj,

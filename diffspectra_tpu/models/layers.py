@@ -145,6 +145,7 @@ class DenseTransMixLayer(nn.Module):
     heads: int = 4
     dropout: float = 0.0
     set_inf: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, edge_attr, extra_heads, edge_mask, deterministic=True):
@@ -160,20 +161,24 @@ class DenseTransMixLayer(nn.Module):
             extra_heads = jnp.repeat(extra_heads, n_expand, axis=-1)
 
         B, N, _ = x.shape
-        query = nn.Dense(E * sub_c, name="lin_query")(x).reshape(B, N, E, sub_c)
-        key = nn.Dense(E * sub_c, name="lin_key")(x).reshape(B, N, E, sub_c)
-        value = nn.Dense(H * C, name="lin_value")(x).reshape(B, N, H, C)
+        dense = lambda f, name, bias=True: nn.Dense(
+            f, use_bias=bias, dtype=self.dtype, name=name
+        )
+        query = dense(E * sub_c, "lin_query")(x).reshape(B, N, E, sub_c)
+        key = dense(E * sub_c, "lin_key")(x).reshape(B, N, E, sub_c)
+        value = dense(H * C, "lin_value")(x).reshape(B, N, H, C)
 
-        e0 = nn.Dense(E * sub_c, use_bias=False, name="lin_edge0")(edge_attr)
+        e0 = dense(E * sub_c, "lin_edge0", bias=False)(edge_attr)
         e0 = jnp.tanh(e0.reshape(B, N, N, E, sub_c))
-        e1 = nn.Dense(H * C, use_bias=False, name="lin_edge1")(edge_attr)
+        e1 = dense(H * C, "lin_edge1", bias=False)(edge_attr)
         e1 = jnp.tanh(e1.reshape(B, N, N, H, C))
 
         # learned logits, scaled by sqrt(out_channels) as the reference does
         # (ref :167 — NOT sqrt(sub_channels))
         alpha_learned = jnp.einsum("bihc,bjhc,bijhc->bijh", query, key, e0)
-        alpha_learned = alpha_learned / math.sqrt(C)
+        alpha_learned = alpha_learned.astype(jnp.float32) / math.sqrt(C)
 
+        extra_heads = extra_heads.astype(jnp.float32)
         if self.set_inf:
             extra_logits = jnp.where(extra_heads == 0.0, -1e10, extra_heads)
         else:
@@ -182,13 +187,13 @@ class DenseTransMixLayer(nn.Module):
 
         # exclude padded / diagonal pairs exactly like sparse scatter-softmax
         alpha = jnp.where(edge_mask[..., None] > 0, alpha, MASK_INF)
-        alpha = jax.nn.softmax(alpha, axis=2)
+        alpha = jax.nn.softmax(alpha, axis=2).astype(self.dtype)
         # rows with no real neighbours produce garbage uniform weights; they
         # are zeroed by the caller's node_mask (padded nodes only).
         alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
 
         out = jnp.einsum("bjhc,bijhc,bijh->bihc", value, e1, alpha)
-        return out.reshape(B, N, H * C)
+        return out.reshape(B, N, H * C).astype(jnp.float32)
 
 
 class DenseEdgeGateTransLayer(nn.Module):
