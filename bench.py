@@ -66,7 +66,7 @@ def main():
     node_mask, edge_mask = M.build_masks(n_nodes, n)
     ctx = jnp.abs(jax.random.normal(key, (bs, 3501)))
     xh_dim = 3 + cfg.data.atom_types + 1
-    variables = model.init(
+    variables = jax.jit(model.init)(
         key, jnp.zeros((bs,)), jnp.zeros((bs, n, xh_dim)), node_mask, edge_mask,
         ctx, edge_x=jnp.zeros((bs, n, n, 2)), noise_level=jnp.zeros((bs,)),
     )

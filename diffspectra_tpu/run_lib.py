@@ -68,7 +68,7 @@ def _init_model_and_state(config, sample_batch, rng):
     n = config.data.max_node
     bs = sample_batch["positions"].shape[0]
     xh_dim = 3 + config.data.atom_types + int(config.model.include_fc_charge)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         rng,
         jnp.zeros((bs,)),
         jnp.zeros((bs, n, xh_dim)),
