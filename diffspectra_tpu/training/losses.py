@@ -27,7 +27,7 @@ def parse_loss_weights(loss_weights) -> tuple:
     return tuple(float(w) for w in loss_weights)
 
 
-def process_edge_batch(batch, scaler, model_name: str):
+def process_edge_batch(batch, scaler, model_name: str, include_charges: bool = True):
     """Normalise and pack a dense batch (ref losses.py:498-529).
 
     batch keys: positions [B,N,3], atom_mask [B,N], edge_mask [B,N,N],
@@ -41,7 +41,13 @@ def process_edge_batch(batch, scaler, model_name: str):
     edge_mask = batch["edge_mask"]
     atom_type = batch["atom_one_hot"]
     edge_type = batch["edge_one_hot"]
-    fc_charge = batch["formal_charges"]
+    # zero-width fc channel when formal charges are excluded
+    # (ref losses.py:505: torch.zeros(0) broadcast)
+    fc_charge = (
+        batch["formal_charges"]
+        if include_charges
+        else jnp.zeros(atom_type.shape[:2] + (0,))
+    )
     context = batch.get("context", None)
 
     # DMT normalises to CoM; DMT_WO_EQ keeps the translation augmentation
@@ -59,13 +65,17 @@ def process_edge_batch(batch, scaler, model_name: str):
     return xh, edge_type, node_mask, edge_mask, context
 
 
-def process_batch_2d(batch, scaler):
+def process_batch_2d(batch, scaler, include_charges: bool = True):
     """2D variant without positions (ref losses.py:472-495)."""
     node_mask = batch["atom_mask"][..., None]
     edge_mask = batch["edge_mask"]
     atom_type = batch["atom_one_hot"]
     edge_type = batch["edge_one_hot"]
-    fc_charge = batch["formal_charges"]
+    fc_charge = (
+        batch["formal_charges"]
+        if include_charges
+        else jnp.zeros(atom_type.shape[:2] + (0,))
+    )
     context = batch.get("context", None)
     _, atom_type, fc_charge, edge_type = scaler(
         None, atom_type, fc_charge, node_mask, edge_type, edge_mask
@@ -91,10 +101,11 @@ def get_sde_graph_loss_fn(noise_scheduler, scaler, config):
     self_cond = config.model.self_cond
     cond_process_fn = get_self_cond_fn(config) if self_cond else None
     model_name = config.model.name
+    include_charges = bool(config.model.include_fc_charge)
 
     def loss_fn(apply_fn, batch_stats, batch, rng):
         xh, edge_x, node_mask, edge_mask, context = process_edge_batch(
-            batch, scaler, model_name
+            batch, scaler, model_name, include_charges
         )
         bs, n_nodes, _ = xh.shape
         n_atoms = jnp.sum(node_mask[..., 0], axis=-1)
@@ -223,9 +234,12 @@ def get_sde_2d_loss_fn(noise_scheduler, scaler, config):
     pred_data = config.model.pred_data
     loss_weights = parse_loss_weights(config.model.loss_weights)
     self_cond = config.model.self_cond
+    include_charges = bool(config.model.include_fc_charge)
 
     def loss_fn(apply_fn, batch_stats, batch, rng):
-        xh, edge_x, node_mask, edge_mask, context = process_batch_2d(batch, scaler)
+        xh, edge_x, node_mask, edge_mask, context = process_batch_2d(
+            batch, scaler, include_charges
+        )
         bs, n_nodes, _ = xh.shape
         n_atoms = jnp.sum(node_mask[..., 0], axis=-1)
 
