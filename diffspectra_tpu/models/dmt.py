@@ -50,20 +50,42 @@ class MultiCondEquiUpdate(nn.Module):
     @nn.compact
     def __call__(self, h, pos, edge_attr, dist, time_emb, adj_extra, edge_mask):
         B, N, _ = h.shape
-        # invariant pair input: [h_i, h_j, e_ij, dist_ij]
+        D = h.shape[-1]
         h = h.astype(self.dtype)
-        h_i = jnp.broadcast_to(h[:, :, None, :], (B, N, N, h.shape[-1]))
-        h_j = jnp.broadcast_to(h[:, None, :, :], (B, N, N, h.shape[-1]))
-        h_input = jnp.concatenate(
-            [h_i, h_j, edge_attr.astype(self.dtype), dist.astype(self.dtype)],
-            axis=-1,
-        )
 
         # position math stays f32 (bf16 squared distances lose precision)
         coord_diff = pos[:, :, None, :] - pos[:, None, :, :]  # [B,N,N,3]
         coord_diff = CoorsNorm(scale_init=1e-2, name="coord_norm")(coord_diff)
 
-        inv = nn.Dense(self.hidden_dim, dtype=self.dtype, name="input_lin")(h_input)
+        # input_lin over the pair input [h_i, h_j, e_ij, dist_ij] decomposed
+        # by linearity: concat([a,b,c,d]) @ W == a@W1 + b@W2 + c@W3 + d@W4.
+        # The h_i/h_j parts become per-NODE matmuls broadcast-added over the
+        # pair grid — the reference's dominant [B*N^2, 2D+De+Dd] matmul
+        # (ref dmt.py:39,45) loses its node-feature FLOPs and the concat
+        # never materialises in HBM. Identical math and parameter count.
+        in_ch = 2 * D + edge_attr.shape[-1] + dist.shape[-1]
+        kernel = self.param(
+            "input_lin_kernel",
+            nn.initializers.lecun_normal(),
+            (in_ch, self.hidden_dim),
+            jnp.float32,
+        ).astype(self.dtype)
+        bias = self.param(
+            "input_lin_bias", nn.initializers.zeros, (self.hidden_dim,), jnp.float32
+        ).astype(self.dtype)
+        w_hi = kernel[:D]
+        w_hj = kernel[D : 2 * D]
+        w_e = kernel[2 * D : 2 * D + edge_attr.shape[-1]]
+        w_d = kernel[2 * D + edge_attr.shape[-1] :]
+        node_i = h @ w_hi  # [B, N, hidden]
+        node_j = h @ w_hj
+        inv = (
+            node_i[:, :, None, :]
+            + node_j[:, None, :, :]
+            + edge_attr.astype(self.dtype) @ w_e
+            + dist.astype(self.dtype) @ w_d
+            + bias
+        )
         inv = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ln")(inv)
         if time_emb is not None:
             # NB chunk order here is (shift, scale) — ref models/dmt.py:44
@@ -176,10 +198,24 @@ class EquivariantMixBlock(nn.Module):
             name="attn_mpnn",
         )(h, edge_attr, extra_heads, edge_mask, deterministic=deterministic)
 
-        # node -> edge update (ref :156-157)
-        h_edge = h_node[:, :, None, :] + h_node[:, None, :, :]
-        h_edge = nn.Dense(self.edge_dim, dtype=self.dtype, name="node2edge_lin")(h_edge)
-        h_edge = h_edge.astype(jnp.float32)
+        # node -> edge update (ref :156-157). Dense(h_i + h_j) is linear, so
+        # project per NODE first and broadcast-add (bias added once) — N x
+        # fewer matmul FLOPs and no [B,N,N,D] pre-projection tensor.
+        n2e_kernel = self.param(
+            "node2edge_kernel",
+            nn.initializers.lecun_normal(),
+            (self.node_dim, self.edge_dim),
+            jnp.float32,
+        ).astype(self.dtype)
+        n2e_bias = self.param(
+            "node2edge_bias", nn.initializers.zeros, (self.edge_dim,), jnp.float32
+        )
+        h_node_proj = h_node.astype(self.dtype) @ n2e_kernel
+        h_edge = (
+            h_node_proj[:, :, None, :].astype(jnp.float32)
+            + h_node_proj[:, None, :, :].astype(jnp.float32)
+            + n2e_bias
+        )
 
         dropout = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
