@@ -96,6 +96,9 @@ def get_config():
     training.snapshot_sampling = True
     # precision: bf16 matmuls on TPU (f32 params); 'highest' falls back to f32
     training.matmul_precision = "bfloat16"
+    # capture a jax.profiler trace of steps [init+10, init+15) to
+    # <workdir>/profile
+    training.profile = False
 
     # optimisation
     config.optim = optim = ml_collections.ConfigDict()

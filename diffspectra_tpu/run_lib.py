@@ -188,8 +188,16 @@ def diffspectra_train(config, config_original_qm9, workdir):
     log_freq = config.training.log_freq
     t_last = time.time()
     step_last = initial_step
+    profile = bool(config.training.get("profile", False))
 
     for step in range(initial_step, num_train_steps + 1):
+        # jax.profiler trace of a few steady-state steps (SURVEY §5: the
+        # reference has no profiling; this is the TPU-native observability
+        # hook — view with tensorboard or xprof)
+        if profile and step == initial_step + 10:
+            jax.profiler.start_trace(os.path.join(workdir, "profile"))
+        if profile and step == initial_step + 15:
+            jax.profiler.stop_trace()
         batch = next(train_iter)
         rng, k_aug, k_step = jax.random.split(rng, 3)
         batch = {k: v for k, v in batch.items() if k != "num_atom"}

@@ -68,7 +68,7 @@ def main():
             cond_x=cx, cond_edge_x=cex, has_cond=hc, context_emb=ce,
         )
 
-    for steps in (1, 4):
+    for steps in (1, 2):
         ts = make_time_steps(sch, steps)
         sampler = AncestralSampler(
             sch, ts, True, pred_edge=True, self_cond=True,
@@ -84,9 +84,15 @@ def main():
             return sampler.sampling(model_apply, k3, z, node_mask, edge_mask, ez, ce)
 
         t0 = time.time()
-        out = run(jax.random.PRNGKey(1))
+        lowered = run.lower(jax.random.PRNGKey(1))
+        log("scan(%d) lower %.1fs" % (steps, time.time() - t0))
+        t0 = time.time()
+        compiled = lowered.compile()
+        log("scan(%d) compile %.1fs" % (steps, time.time() - t0))
+        t0 = time.time()
+        out = compiled(jax.random.PRNGKey(1))
         jax.block_until_ready(out)
-        log("scan(%d) compile+run %.1fs" % (steps, time.time() - t0))
+        log("scan(%d) run %.2fs" % (steps, time.time() - t0))
 
 
 if __name__ == "__main__":
