@@ -78,17 +78,19 @@ def main():
             cond_process_fn=get_self_cond_fn(cfg),
         )
 
-    def model_apply(t, x, nm, em, edge_x, nl, cond_x, cond_edge_x, has_cond, c_emb):
-        return model.apply(
-            variables, t, x, nm, em, None, edge_x=edge_x, noise_level=nl,
-            cond_x=cond_x, cond_edge_x=cond_edge_x, has_cond=has_cond,
-            context_emb=c_emb,
-        )
-
     sampler = make_sampler(TIMED_STEPS)
 
+    # params are jit ARGUMENTS: closing over them would embed ~7M constants
+    # in the XLA graph and blow up TPU compile time
     @jax.jit
-    def run(rng):
+    def run(variables, rng):
+        def model_apply(t, x, nm, em, edge_x, nl, cond_x, cond_edge_x, has_cond, c_emb):
+            return model.apply(
+                variables, t, x, nm, em, None, edge_x=edge_x, noise_level=nl,
+                cond_x=cond_x, cond_edge_x=cond_edge_x, has_cond=has_cond,
+                context_emb=c_emb,
+            )
+
         k1, k2, k3 = jax.random.split(rng, 3)
         z = M.sample_combined_position_feature_noise(k1, bs, n, xh_dim - 3, node_mask)
         edge_z = M.sample_symmetric_edge_feature_noise(k2, bs, n, 2, edge_mask)
@@ -96,11 +98,11 @@ def main():
         return sampler.sampling(model_apply, k3, z, node_mask, edge_mask, edge_z, ctx_emb)
 
     # compile
-    x, e = run(jax.random.PRNGKey(1))
+    x, e = run(variables, jax.random.PRNGKey(1))
     jax.block_until_ready((x, e))
     # timed
     t0 = time.perf_counter()
-    x, e = run(jax.random.PRNGKey(2))
+    x, e = run(variables, jax.random.PRNGKey(2))
     jax.block_until_ready((x, e))
     dt = time.perf_counter() - t0
 
