@@ -55,11 +55,70 @@ def load_qm9s(root: str, max_n: int = 29) -> Tuple[Dict[str, np.ndarray], tuple]
     )
 
 
+def _install_pyg_unpickle_shims():
+    """Allow unpickling PyG ``Data`` objects without torch_geometric.
+
+    The processed file stores ``(Data, slices)``; pickle only needs the class
+    paths importable with generic ``__setstate__`` behaviour. Attribute reads
+    route through the PyG storage mapping."""
+    import sys
+    import types
+
+    try:
+        import torch_geometric  # noqa: F401
+
+        return  # real library available
+    except ImportError:
+        pass
+
+    class _ShimStorage:
+        def __setstate__(self, state):
+            self.__dict__.update(state)
+
+        def __getattr__(self, key):
+            mapping = self.__dict__.get("_mapping", {})
+            if key in mapping:
+                return mapping[key]
+            raise AttributeError(key)
+
+    class _ShimData:
+        def __setstate__(self, state):
+            self.__dict__.update(state)
+
+        def __getattr__(self, key):
+            store = self.__dict__.get("_store")
+            if store is not None:
+                try:
+                    return getattr(store, key)
+                except AttributeError:
+                    pass
+            mapping = self.__dict__.get("_mapping", {})
+            if key in mapping:
+                return mapping[key]
+            raise AttributeError(key)
+
+    mods = {
+        "torch_geometric": types.ModuleType("torch_geometric"),
+        "torch_geometric.data": types.ModuleType("torch_geometric.data"),
+        "torch_geometric.data.data": types.ModuleType("torch_geometric.data.data"),
+        "torch_geometric.data.storage": types.ModuleType("torch_geometric.data.storage"),
+    }
+    mods["torch_geometric.data.data"].Data = _ShimData
+    mods["torch_geometric.data.data"].DataEdgeAttr = type("DataEdgeAttr", (), {})
+    mods["torch_geometric.data.data"].DataTensorAttr = type("DataTensorAttr", (), {})
+    mods["torch_geometric.data.storage"].GlobalStorage = _ShimStorage
+    mods["torch_geometric.data.storage"].BaseStorage = _ShimStorage
+    mods["torch_geometric.data"].Data = _ShimData
+    for name, mod in mods.items():
+        sys.modules.setdefault(name, mod)
+
+
 def pack_from_pyg(root: str, max_n: int = 29):
     """One-time conversion of the reference's processed PyG .pt into the
     packed dense .npy store (requires torch; runs on host CPU)."""
     import torch  # host-only dependency, never on the device path
 
+    _install_pyg_unpickle_shims()
     pt_file = os.path.join(root, "processed", "data_qm9_allspectra.pt")
     data, slices = torch.load(pt_file, map_location="cpu", weights_only=False)
 
