@@ -27,8 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_A100_EST_MOLS_PER_SEC = 0.35
 
-BATCH = int(os.environ.get("BENCH_BATCH", 64))
-TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 50))
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
+TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 25))
 PROTOCOL_STEPS = 1000
 
 
