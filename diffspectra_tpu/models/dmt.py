@@ -482,9 +482,12 @@ class DMT(nn.Module):
 
         # nn.scan over the (structurally identical) blocks: compiles ONE
         # block body instead of n_layers copies — compile time drops ~8x at
-        # reference depth; parameters are stacked along a leading layer axis
+        # reference depth; parameters are stacked along a leading layer axis.
+        # nn.remat inside the scan rematerialises block activations in the
+        # backward pass — without it the scan stacks every layer's pair-grid
+        # residuals ([L,B,N,N,H,C] temps) and training OOMs at batch 128.
         ScannedBlocks = nn.scan(
-            _BlockWithCollect,
+            nn.remat(_BlockWithCollect, static_argnums=()),
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.n_layers,

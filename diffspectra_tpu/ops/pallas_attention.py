@@ -1,0 +1,138 @@
+"""Fused Pallas TPU kernel for the DMT mixed edge-gated attention.
+
+The hot inner op of every DMT block (ref models/layers.py:92-191, dense form
+in models/layers.py::DenseTransMixLayer) is:
+
+    e0 = tanh(edge_attr @ W0)           # [B,N,N,E*sc]
+    e1 = tanh(edge_attr @ W1)           # [B,N,N,H*C]
+    logit[b,i,j,h] = sum_c q[b,i,h,c] k[b,j,h,c] e0[b,i,j,h,c] / sqrt(C)
+    alpha = masked_softmax([extra_logits, logit], axis=j)
+    out[b,i,h,c] = sum_j alpha[b,i,j,h] v[b,j,h,c] e1[b,i,j,h,c]
+
+Under XLA, the two projection matmuls materialise ``[B,N,N,252]`` and
+``[B,N,N,256]`` gate tensors in HBM (~110MB round trips per block at batch
+128). This kernel fuses projection + tanh + logits + masked softmax +
+weighted sum per batch tile entirely in VMEM, so edge_attr is read from HBM
+once and only the ``[B,N,H*C]`` output is written back.
+
+The q/k/v node projections stay outside (they are cheap ``[B,N,·]``
+matmuls that XLA batches well).
+
+``mix_attention(..., use_pallas=False)`` runs the identical jnp fallback;
+the kernel is validated against it in tests (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_INF = -1e30
+NEG_ADJ = -1e10  # reference's zero-adjacency logit (ref layers.py:173)
+
+
+def _kernel(q_ref, k_ref, v_ref, edge_ref, w0_ref, w1_ref, extra_ref,
+            mask_ref, out_ref, *, n_heads, n_extra, out_ch, sub_c, set_inf):
+    """One batch tile: q [Bb,N,E,sc], k [Bb,N,E,sc], v [Bb,N,H,C],
+    edge [Bb,N,N,De], w0 [De,E*sc], w1 [De,H*C], extra [Bb,N,N,n_extra],
+    mask [Bb,N,N] -> out [Bb,N,H*C]."""
+    bb, n = q_ref.shape[0], q_ref.shape[1]
+    n_sub = n_heads - n_extra
+    de = edge_ref.shape[-1]
+
+    edge = edge_ref[:].reshape(bb * n * n, de)
+    # fused projections + tanh, accumulate in f32 on the MXU
+    e0 = jnp.tanh(
+        jnp.dot(edge, w0_ref[:], preferred_element_type=jnp.float32)
+    ).reshape(bb, n, n, n_sub, sub_c)
+    e1 = jnp.tanh(
+        jnp.dot(edge, w1_ref[:], preferred_element_type=jnp.float32)
+    ).reshape(bb, n, n, n_heads, out_ch)
+
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+
+    # learned logits: sum_c q_i k_j e0_ij (VPU elementwise + reduce)
+    logits = jnp.einsum("bihc,bjhc,bijhc->bijh", q, k, e0) / math.sqrt(out_ch)
+
+    extra = extra_ref[:].astype(jnp.float32)
+    if set_inf:
+        extra = jnp.where(extra == 0.0, NEG_ADJ, extra)
+    alpha = jnp.concatenate([extra, logits], axis=-1)  # [Bb,N,N,H]
+
+    mask = mask_ref[:]
+    alpha = jnp.where(mask[..., None] > 0, alpha, MASK_INF)
+    alpha = jax.nn.softmax(alpha, axis=2)
+
+    out = jnp.einsum("bijh,bjhc,bijhc->bihc", alpha, v, e1)
+    out_ref[:] = out.reshape(bb, n, n_heads * out_ch).astype(out_ref.dtype)
+
+
+def mix_attention_reference(q, k, v, edge_attr, w0, w1, extra, edge_mask,
+                            *, set_inf=True):
+    """jnp fallback with identical semantics (used on CPU and for tests)."""
+    B, N, n_sub, sub_c = q.shape
+    n_heads, out_ch = v.shape[2], v.shape[3]
+    e0 = jnp.tanh(
+        (edge_attr @ w0).astype(jnp.float32)
+    ).reshape(B, N, N, n_sub, sub_c)
+    e1 = jnp.tanh(
+        (edge_attr @ w1).astype(jnp.float32)
+    ).reshape(B, N, N, n_heads, out_ch)
+    logits = jnp.einsum(
+        "bihc,bjhc,bijhc->bijh", q.astype(jnp.float32), k.astype(jnp.float32), e0
+    ) / math.sqrt(out_ch)
+    extra = extra.astype(jnp.float32)
+    if set_inf:
+        extra = jnp.where(extra == 0.0, NEG_ADJ, extra)
+    alpha = jnp.concatenate([extra, logits], axis=-1)
+    alpha = jnp.where(edge_mask[..., None] > 0, alpha, MASK_INF)
+    alpha = jax.nn.softmax(alpha, axis=2)
+    out = jnp.einsum("bijh,bjhc,bijhc->bihc", alpha, v.astype(jnp.float32), e1)
+    return out.reshape(B, N, n_heads * out_ch)
+
+
+def mix_attention(q, k, v, edge_attr, w0, w1, extra, edge_mask, *,
+                  set_inf=True, batch_tile: int = 8, interpret=False):
+    """Fused mixed attention. Shapes:
+    q,k [B,N,E,sc] / v [B,N,H,C] / edge_attr [B,N,N,De] / w0 [De,E*sc] /
+    w1 [De,H*C] / extra [B,N,N,n_extra] / edge_mask [B,N,N]
+    -> [B, N, H*C] (f32).
+    """
+    B, N, n_sub, sub_c = q.shape
+    n_heads, out_ch = v.shape[2], v.shape[3]
+    n_extra = extra.shape[-1]
+    de = edge_attr.shape[-1]
+
+    bb = min(batch_tile, B)
+    while B % bb:
+        bb -= 1
+    grid = (B // bb,)
+
+    kernel = functools.partial(
+        _kernel, n_heads=n_heads, n_extra=n_extra, out_ch=out_ch,
+        sub_c=sub_c, set_inf=set_inf,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, n_heads * out_ch), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, N, n_sub, sub_c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, N, n_sub, sub_c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, N, n_heads, out_ch), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, N, N, de), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((de, n_sub * sub_c), lambda i: (0, 0)),
+            pl.BlockSpec((de, n_heads * out_ch), lambda i: (0, 0)),
+            pl.BlockSpec((bb, N, N, n_extra), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, N, N), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, N, n_heads * out_ch), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(q, k, v, edge_attr, w0, w1, extra, edge_mask)
