@@ -127,6 +127,7 @@ class EquivariantMixBlock(nn.Module):
     dropout: float = 0.0
     gbf_name: str = "CondGaussianLayer"
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -195,6 +196,7 @@ class EquivariantMixBlock(nn.Module):
             dropout=self.dropout,
             set_inf=self.softmax_inf,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="attn_mpnn",
         )(h, edge_attr, extra_heads, edge_mask, deterministic=deterministic)
 
@@ -272,6 +274,7 @@ class _BlockWithCollect(nn.Module):
     dropout: float
     gbf_name: str
     dtype: jnp.dtype
+    use_pallas: bool
     CoM: bool
     cat_node_dim: int
     cat_edge_dim: int
@@ -294,6 +297,7 @@ class _BlockWithCollect(nn.Module):
             dropout=self.dropout,
             gbf_name=self.gbf_name,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="e_block",
         )(
             pos, h, edge_attr, node_mask, edge_mask, extra_adj,
@@ -349,9 +353,11 @@ class DMT(nn.Module):
     patch_len: tuple = (20, 50, 50)
     stride: tuple = (10, 25, 25)
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @staticmethod
     def from_config(config):
+        import jax as _jax
         import jax.numpy as _jnp
 
         dtype = (
@@ -359,8 +365,12 @@ class DMT(nn.Module):
             if config.training.get("matmul_precision", "") == "bfloat16"
             else _jnp.float32
         )
+        use_pallas = config.model.get("use_pallas", None)
+        if use_pallas is None:
+            use_pallas = _jax.default_backend() == "tpu"
         return DMT(
             dtype=dtype,
+            use_pallas=bool(use_pallas),
             in_node_dim=config.data.atom_types + int(config.model.include_fc_charge),
             hidden_dim=config.model.nf,
             edge_hidden_dim=config.model.nf // 4,
@@ -507,6 +517,7 @@ class DMT(nn.Module):
             dropout=self.dropout,
             gbf_name=self.gbf_name,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             CoM=self.CoM,
             cat_node_dim=cat_node_dim,
             cat_edge_dim=cat_edge_dim,

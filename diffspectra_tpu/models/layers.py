@@ -146,6 +146,7 @@ class DenseTransMixLayer(nn.Module):
     dropout: float = 0.0
     set_inf: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, edge_attr, extra_heads, edge_mask, deterministic=True):
@@ -168,9 +169,32 @@ class DenseTransMixLayer(nn.Module):
         key = dense(E * sub_c, "lin_key")(x).reshape(B, N, E, sub_c)
         value = dense(H * C, "lin_value")(x).reshape(B, N, H, C)
 
-        e0 = dense(E * sub_c, "lin_edge0", bias=False)(edge_attr)
+        # edge gate projections: explicit kernels shared by both paths
+        w0 = self.param(
+            "lin_edge0_kernel", nn.initializers.lecun_normal(),
+            (edge_attr.shape[-1], E * sub_c), jnp.float32,
+        )
+        w1 = self.param(
+            "lin_edge1_kernel", nn.initializers.lecun_normal(),
+            (edge_attr.shape[-1], H * C), jnp.float32,
+        )
+
+        # fused Pallas kernel: projection+tanh+logits+softmax+sum in VMEM
+        # (no attention-weight dropout inside — jnp path when dropout active)
+        if self.use_pallas and (deterministic or self.dropout == 0.0):
+            from ..ops.pallas_attention import mix_attention
+
+            out = mix_attention(
+                query, key, value,
+                edge_attr.astype(self.dtype),
+                w0.astype(self.dtype), w1.astype(self.dtype),
+                extra_heads, edge_mask, set_inf=self.set_inf,
+            )
+            return out  # [B, N, H*C] f32
+
+        e0 = (edge_attr.astype(self.dtype) @ w0.astype(self.dtype))
         e0 = jnp.tanh(e0.reshape(B, N, N, E, sub_c))
-        e1 = dense(H * C, "lin_edge1", bias=False)(edge_attr)
+        e1 = (edge_attr.astype(self.dtype) @ w1.astype(self.dtype))
         e1 = jnp.tanh(e1.reshape(B, N, N, H, C))
 
         # learned logits, scaled by sqrt(out_channels) as the reference does
