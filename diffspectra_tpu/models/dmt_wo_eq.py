@@ -184,14 +184,22 @@ class DMTWoEqBlock(nn.Module):
             h_node_res = h_in_node + h_node
             h_out = h_node_res + ff_node(ln("norm2_node")(h_node_res))
 
-        # edge update with CONCAT pair features (ref :537-540,604-626)
+        # edge update with CONCAT pair features (ref :537-540,604-626).
+        # concat([h_i,h_j]) @ W == h_i @ W_top + h_j @ W_bot: per-node matmuls
+        # broadcast-added, no [B,N,N,2D] materialisation (linearity identity).
         if self.pair_update:
             B, N, D = h_node.shape
-            h_i = jnp.broadcast_to(h_node[:, :, None, :], (B, N, N, D))
-            h_j = jnp.broadcast_to(h_node[:, None, :, :], (B, N, N, D))
-            h_edge = nn.Dense(self.edge_dim, name="node2edge_lin")(
-                jnp.concatenate([h_i, h_j], axis=-1)
+            n2e_kernel = self.param(
+                "node2edge_kernel", nn.initializers.lecun_normal(),
+                (2 * D, self.edge_dim), jnp.float32,
             )
+            n2e_bias = self.param(
+                "node2edge_bias", nn.initializers.zeros, (self.edge_dim,),
+                jnp.float32,
+            )
+            proj_i = h_node @ n2e_kernel[:D]
+            proj_j = h_node @ n2e_kernel[D:]
+            h_edge = proj_i[:, :, None, :] + proj_j[:, None, :, :] + n2e_bias
             if self.cond_time:
                 h_edge_res = h_in_edge + e_gate_msa * h_edge
                 _e = modulate(ln("norm2_edge")(h_edge_res), e_shift_mlp, e_scale_mlp)
@@ -215,6 +223,38 @@ class NodeEmbed(nn.Module):
         xe = nn.Dense(self.hidden_size * 2, name="x_linear")(x)
         pe = nn.Dense(self.hidden_size * 2, name="pos_linear")(pos)
         return nn.Dense(self.hidden_size, name="mlp_out")(nn.gelu(xe + pe))
+
+
+class _WoEqBlockWithCollect(nn.Module):
+    """scan body: one DMTWoEqBlock + skip-concat projections."""
+
+    node_dim: int
+    edge_dim: int
+    time_dim: int
+    num_heads: int
+    cond_time: bool
+    mlp_ratio: int
+    dropout: float
+    trans_ver: str
+    cat_node_dim: int
+    cat_edge_dim: int
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        h, edge_attr, node_mask, edge_mask, node_time_emb, edge_time_emb = carry
+        h, edge_attr = DMTWoEqBlock(
+            self.node_dim, self.edge_dim, self.time_dim, self.num_heads,
+            cond_time=self.cond_time, mlp_ratio=self.mlp_ratio,
+            dropout=self.dropout, pair_update=True, trans_ver=self.trans_ver,
+            name="dmt_block",
+        )(
+            h, edge_attr, node_mask, edge_mask, node_time_emb, edge_time_emb,
+            deterministic=self.deterministic,
+        )
+        cat_h = nn.Dense(self.cat_node_dim, name="node_proj")(h)
+        cat_e = nn.Dense(self.cat_edge_dim, name="edge_proj")(edge_attr)
+        return (h, edge_attr, node_mask, edge_mask, node_time_emb, edge_time_emb), (cat_h, cat_e)
 
 
 @register_model(name="DMT_WO_EQ")
@@ -330,23 +370,36 @@ class DMT_WO_EQ(nn.Module):
 
         cat_node_dim = (self.hidden_dim * 2) // self.n_layers
         cat_edge_dim = (self.edge_hidden_dim * 2) // self.n_layers
-        atom_hids = [h]
-        edge_hids = [edge_attr]
-        for i in range(self.n_layers):
-            h, edge_attr = DMTWoEqBlock(
-                self.hidden_dim, self.edge_hidden_dim, time_dim, self.n_heads,
-                cond_time=self.cond_time, mlp_ratio=self.mlp_ratio,
-                dropout=self.dropout, pair_update=True, trans_ver=self.trans_ver,
-                name=f"dmt_block_{i}",
-            )(
-                h, edge_attr, node_mask, edge_mask, node_time_emb, edge_time_emb,
-                deterministic=deterministic,
-            )
-            atom_hids.append(nn.Dense(cat_node_dim, name=f"node_{i}")(h))
-            edge_hids.append(nn.Dense(cat_edge_dim, name=f"edge_{i}")(edge_attr))
 
-        atom_hids = jnp.concatenate(atom_hids, axis=-1)
-        edge_hids = jnp.concatenate(edge_hids, axis=-1)
+        # nn.scan + nn.remat over the identical blocks (see models/dmt.py):
+        # one compiled block, stacked params, rematerialised backward
+        ScannedBlocks = nn.scan(
+            nn.remat(_WoEqBlockWithCollect),
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.n_layers,
+        )
+        carry = (h, edge_attr, node_mask, edge_mask, node_time_emb, edge_time_emb)
+        carry, (cat_h, cat_e) = ScannedBlocks(
+            node_dim=self.hidden_dim,
+            edge_dim=self.edge_hidden_dim,
+            time_dim=time_dim,
+            num_heads=self.n_heads,
+            cond_time=self.cond_time,
+            mlp_ratio=self.mlp_ratio,
+            dropout=self.dropout,
+            trans_ver=self.trans_ver,
+            cat_node_dim=cat_node_dim,
+            cat_edge_dim=cat_edge_dim,
+            deterministic=deterministic,
+            name="blocks",
+        )(carry, None)
+
+        L = self.n_layers
+        cat_h = jnp.moveaxis(cat_h, 0, 2).reshape(B, N, L * cat_node_dim)
+        cat_e = jnp.moveaxis(cat_e, 0, 3).reshape(B, N, N, L * cat_edge_dim)
+        atom_hids = jnp.concatenate([h, cat_h], axis=-1)
+        edge_hids = jnp.concatenate([edge_attr, cat_e], axis=-1)
 
         def mlp_head(x, width, out, prefix):
             x = nn.Dense(width, name=f"{prefix}_0")(x)
