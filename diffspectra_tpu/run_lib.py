@@ -111,8 +111,20 @@ def _augment_config(config):
     return False, False
 
 
+def _maybe_init_distributed():
+    """Multi-host DP over DCN: same shard_map program, more processes
+    (SURVEY §2.12). Activated by the standard JAX coordinator env vars."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+        logging.info(
+            "jax.distributed initialised: process %d/%d",
+            jax.process_index(), jax.process_count(),
+        )
+
+
 def diffspectra_train(config, config_original_qm9, workdir):
     """Training pipeline (ref run_lib.py:172-293)."""
+    _maybe_init_distributed()
     config = resolve_runtime_config(config, len(jax.devices()))
     sample_dir = os.path.join(workdir, "samples")
     os.makedirs(sample_dir, exist_ok=True)
