@@ -365,9 +365,10 @@ class DMT(nn.Module):
             if config.training.get("matmul_precision", "") == "bfloat16"
             else _jnp.float32
         )
-        use_pallas = config.model.get("use_pallas", None)
-        if use_pallas is None:
-            use_pallas = _jax.default_backend() == "tpu"
+        # experimental: the fused kernel currently fails Mosaic lowering on
+        # its multi-batch-dim contractions, and the XLA path runs this op in
+        # ~30us at batch 128 (not a bottleneck) — opt-in only
+        use_pallas = bool(config.model.get("use_pallas", False))
         return DMT(
             dtype=dtype,
             use_pallas=bool(use_pallas),

@@ -20,6 +20,13 @@ matmuls that XLA batches well).
 
 ``mix_attention(..., use_pallas=False)`` runs the identical jnp fallback;
 the kernel is validated against it in tests (interpret mode on CPU).
+
+STATUS: experimental / opt-in. Mosaic currently rejects the kernel's
+multi-batch-dim contractions (TPU_DotDimensionNumbers limitation), and a
+measurement on v5e showed the XLA path executes this fused op in ~30us at
+batch 128 — the op is not a bottleneck, so the jnp path is the default
+(config.model.use_pallas=False). Kept as the scaffold for future fusion
+work (candidate: rewrite the einsums as per-head 2-D dots).
 """
 
 from __future__ import annotations
