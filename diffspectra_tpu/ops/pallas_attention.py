@@ -21,12 +21,14 @@ matmuls that XLA batches well).
 ``mix_attention(..., use_pallas=False)`` runs the identical jnp fallback;
 the kernel is validated against it in tests (interpret mode on CPU).
 
-STATUS: experimental / opt-in. Mosaic currently rejects the kernel's
-multi-batch-dim contractions (TPU_DotDimensionNumbers limitation), and a
-measurement on v5e showed the XLA path executes this fused op in ~30us at
-batch 128 — the op is not a bottleneck, so the jnp path is the default
-(config.model.use_pallas=False). Kept as the scaffold for future fusion
-work (candidate: rewrite the einsums as per-head 2-D dots).
+STATUS: experimental / opt-in (config.model.use_pallas=False by default).
+The kernel body is now Mosaic-friendly (2-D MXU dots + VPU broadcast
+reductions, no multi-batch-dim contractions) and passes interpret-mode
+parity tests, but this container's remote TPU compile helper currently
+rejects Mosaic payloads (HTTP 500, no diagnostics), so it cannot be
+hardware-validated here. A v5e measurement of the equivalent XLA path shows
+~30us per call at batch 128 — this op is not a bottleneck, so nothing is
+lost by defaulting to the jnp path.
 """
 
 from __future__ import annotations
@@ -53,20 +55,26 @@ def _kernel(q_ref, k_ref, v_ref, edge_ref, w0_ref, w1_ref, extra_ref,
     de = edge_ref.shape[-1]
 
     edge = edge_ref[:].reshape(bb * n * n, de)
-    # fused projections + tanh, accumulate in f32 on the MXU
+    # fused projections + tanh, accumulate in f32 on the MXU (plain 2-D dots
+    # — Mosaic rejects multi-batch-dim contractions, so the gated attention
+    # below is broadcast-multiply + reduce on the VPU instead of einsums)
     e0 = jnp.tanh(
         jnp.dot(edge, w0_ref[:], preferred_element_type=jnp.float32)
-    ).reshape(bb, n, n, n_sub, sub_c)
+    ).reshape(bb, n, n, n_sub * sub_c)
     e1 = jnp.tanh(
         jnp.dot(edge, w1_ref[:], preferred_element_type=jnp.float32)
-    ).reshape(bb, n, n, n_heads, out_ch)
+    ).reshape(bb, n, n, n_heads * out_ch)
 
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    q = q_ref[:].astype(jnp.float32).reshape(bb, n, n_sub * sub_c)
+    k = k_ref[:].astype(jnp.float32).reshape(bb, n, n_sub * sub_c)
+    v = v_ref[:].astype(jnp.float32).reshape(bb, n, n_heads * out_ch)
 
-    # learned logits: sum_c q_i k_j e0_ij (VPU elementwise + reduce)
-    logits = jnp.einsum("bihc,bjhc,bijhc->bijh", q, k, e0) / math.sqrt(out_ch)
+    # learned logits: sum_c q_i k_j e0_ij; fold (h, c) into one axis and
+    # reduce per head chunk — all 4-D elementwise + reductions
+    qk = q[:, :, None, :] * k[:, None, :, :]  # [bb, n, n, E*sc]
+    gated = qk * e0
+    gated = gated.reshape(bb, n, n, n_sub, sub_c)
+    logits = jnp.sum(gated, axis=-1) / math.sqrt(out_ch)  # [bb, n, n, E]
 
     extra = extra_ref[:].astype(jnp.float32)
     if set_inf:
@@ -77,8 +85,12 @@ def _kernel(q_ref, k_ref, v_ref, edge_ref, w0_ref, w1_ref, extra_ref,
     alpha = jnp.where(mask[..., None] > 0, alpha, MASK_INF)
     alpha = jax.nn.softmax(alpha, axis=2)
 
-    out = jnp.einsum("bijh,bjhc,bijhc->bihc", alpha, v, e1)
-    out_ref[:] = out.reshape(bb, n, n_heads * out_ch).astype(out_ref.dtype)
+    # out_i = sum_j alpha_ij * v_j * e1_ij ; expand alpha per-head over the
+    # folded (h, c) axis with repeat, reduce over j
+    alpha_hc = jnp.repeat(alpha, out_ch, axis=-1)  # [bb, n, n, H*C]
+    msg = alpha_hc * v[:, None, :, :] * e1
+    out = jnp.sum(msg, axis=2)  # [bb, n, H*C]
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def mix_attention_reference(q, k, v, edge_attr, w0, w1, extra, edge_mask,
