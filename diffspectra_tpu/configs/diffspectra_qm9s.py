@@ -35,6 +35,10 @@ def get_config():
     data.aug_translation_scale = 0.1
     data.transform = "EdgeComSpectra"
     data.use_normalize = True  # log10(x+1) spectra normalisation
+    # atom-count bucket boundaries for bucketed padding (empty = single
+    # static N; each bucket adds one XLA compilation but removes padded pair
+    # compute — see data/pipeline.py)
+    data.bucket_sizes = []
     # synthetic fallback when no QM9S download is present (tests/benches)
     data.synthetic = False
     data.synthetic_size = 4096

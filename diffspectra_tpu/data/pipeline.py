@@ -162,6 +162,19 @@ def augment_positions(
     return positions
 
 
+def _truncate_batch(rows_dict: Dict[str, np.ndarray], n_pad: int) -> Dict[str, np.ndarray]:
+    """Trim node/edge axes of a gathered batch to ``n_pad`` (bucketing)."""
+    out = {}
+    for k, v in rows_dict.items():
+        if k in ("atom_one_hot", "positions", "atom_type") or k == "formal_charges":
+            out[k] = v[:, :n_pad]
+        elif k in ("edge_one_hot", "edge_type"):
+            out[k] = v[:, :n_pad, :n_pad]
+        else:
+            out[k] = v
+    return out
+
+
 def get_batch_iterator(
     ds: ArrayDataset,
     batch_size: int,
@@ -169,17 +182,42 @@ def get_batch_iterator(
     shuffle: bool = True,
     seed: int = 0,
     drop_last: bool = True,
+    bucket_sizes=(),
 ) -> Iterator[Dict]:
-    """Epoch iterator of collated numpy batches."""
+    """Epoch iterator of collated numpy batches.
+
+    ``bucket_sizes``: optional ascending atom-count bucket boundaries (e.g.
+    (18, 23, 29)). When set, batches are bucket-homogeneous and padded to
+    the bucket size instead of the global max N — at QM9's size histogram
+    this removes roughly half the padded pair compute (the deliberate
+    middle ground between the reference's per-batch-max dynamic shapes and
+    a single static shape; each bucket costs one XLA compilation).
+    """
     rng = np.random.default_rng(seed)
     n = len(ds)
     order = rng.permutation(n) if shuffle else np.arange(n)
-    stop = n - (n % batch_size) if drop_last else n
-    for start in range(0, stop, batch_size):
-        rows = order[start : start + batch_size]
-        if len(rows) < batch_size and drop_last:
-            break
-        yield collate(ds.take(rows), spectra_version)
+
+    if not bucket_sizes:
+        stop = n - (n % batch_size) if drop_last else n
+        for start in range(0, stop, batch_size):
+            rows = order[start : start + batch_size]
+            if len(rows) < batch_size and drop_last:
+                break
+            yield collate(ds.take(rows), spectra_version)
+        return
+
+    bucket_sizes = sorted(bucket_sizes)
+    num_atom = ds.arrays["num_atom"][ds.indices[order]]
+    bucket_of = np.searchsorted(bucket_sizes, num_atom)  # first b >= n
+    batches = []
+    for bi, bsize in enumerate(bucket_sizes):
+        rows = order[bucket_of == bi]
+        stop = len(rows) - (len(rows) % batch_size) if drop_last else len(rows)
+        for start in range(0, stop, batch_size):
+            batches.append((bsize, rows[start : start + batch_size]))
+    rng.shuffle(batches)
+    for bsize, rows in batches:
+        yield collate(_truncate_batch(ds.take(rows), bsize), spectra_version)
 
 
 def inf_iterator(make_iter):

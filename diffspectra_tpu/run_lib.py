@@ -137,10 +137,12 @@ def diffspectra_train(config, config_original_qm9, workdir):
     spectra_version = config.data.spectra_version
     batch_size = config.training.batch_size
 
+    bucket_sizes = tuple(config.data.get("bucket_sizes", ()))
+
     def make_train_iter(epoch):
         return get_batch_iterator(
             second_train_ds, batch_size, spectra_version, shuffle=True,
-            seed=config.seed + epoch, drop_last=True,
+            seed=config.seed + epoch, drop_last=True, bucket_sizes=bucket_sizes,
         )
 
     train_iter = inf_iterator(make_train_iter)

@@ -114,3 +114,26 @@ def test_augmentation_preserves_geometry():
     np.testing.assert_allclose(
         pdist(out[0], 4), pdist(pos[0], 4), atol=1e-4
     )
+
+
+def test_bucketed_batching():
+    cfg = smoke.get_config()
+    _, second, _, _, _ = get_dataset(cfg)
+    buckets = (10, 13, 16)
+    seen_sizes = set()
+    total = 0
+    for batch in get_batch_iterator(
+        second, 8, "ir", seed=0, drop_last=False, bucket_sizes=buckets
+    ):
+        n_pad = batch["atom_one_hot"].shape[1]
+        seen_sizes.add(n_pad)
+        assert n_pad in buckets
+        # every molecule fits its bucket and exceeds the next-smaller bucket
+        assert np.all(batch["num_atom"] <= n_pad)
+        smaller = [b for b in buckets if b < n_pad]
+        if smaller:
+            assert np.all(batch["num_atom"] > smaller[-1])
+        assert batch["edge_one_hot"].shape[1:3] == (n_pad, n_pad)
+        total += len(batch["num_atom"])
+    assert len(seen_sizes) > 1
+    assert total > 0
