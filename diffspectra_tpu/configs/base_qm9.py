@@ -3,8 +3,6 @@
 rdmols for the metric reference sets (ref run_lib.py:340-342); here the same
 role is served against the packed dataset store."""
 
-import ml_collections
-
 from . import diffspectra_qm9s
 
 

@@ -11,7 +11,7 @@ scipy on host) runs on-device as a jitted function over the whole batch.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator
 
 import jax
 import jax.numpy as jnp

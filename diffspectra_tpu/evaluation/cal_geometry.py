@@ -27,7 +27,6 @@ import numpy as np
 
 from .mmd import compute_mmd
 from .molgraph import MolGraph
-from .rdkit_metric import HAS_RDKIT
 
 BOND_SYM = {1: "1", 2: "2", 3: "3", 4: "12"}  # ref :21 (aromatic == 12)
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import hashlib
 from collections import Counter
-from typing import Dict, List
 
 import numpy as np
 

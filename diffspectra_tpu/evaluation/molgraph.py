@@ -10,8 +10,8 @@ canonical SMILES in uniqueness / novelty / exact-match computations.
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
 
 import numpy as np
 

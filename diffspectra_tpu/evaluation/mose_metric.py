@@ -19,7 +19,6 @@ without RDKit.
 
 from __future__ import annotations
 
-import logging
 from typing import List, Optional
 
 import numpy as np

@@ -9,7 +9,7 @@ atom-type accuracy. scipy ``linear_sum_assignment`` is host-side.
 from __future__ import annotations
 
 import warnings
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment

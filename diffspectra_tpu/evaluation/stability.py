@@ -9,7 +9,6 @@ stand-ins are produced and the fallback metric path is used.
 
 from __future__ import annotations
 
-from typing import List, Optional
 
 import numpy as np
 

@@ -15,7 +15,6 @@ equivariance holds exactly (tested in tests/test_dmt.py).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -357,7 +356,6 @@ class DMT(nn.Module):
 
     @staticmethod
     def from_config(config):
-        import jax as _jax
         import jax.numpy as _jnp
 
         dtype = (

@@ -14,7 +14,6 @@ is numerically identical to the reference's softmax over the real-edge set.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ the encoder is three dense MHA blocks over <= 347 tokens, all MXU work.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

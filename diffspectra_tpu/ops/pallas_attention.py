@@ -39,7 +39,6 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 MASK_INF = -1e30
 NEG_ADJ = -1e10  # reference's zero-adjacency logit (ref layers.py:173)

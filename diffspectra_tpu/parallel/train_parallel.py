@@ -8,7 +8,6 @@ its reverse-diffusion shard independently; results gather on host).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P

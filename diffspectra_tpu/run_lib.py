@@ -12,7 +12,6 @@ import logging
 import os
 import random
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,7 @@ from .data import get_dataset, get_batch_iterator, inf_iterator
 from .data.pipeline import augment_positions
 from .diffusion import NoiseScheduleVP
 from .evaluation import get_2D_edm_metric, get_edm_metric
-from .evaluation.molgraph import MolGraph, from_decoded
+from .evaluation.molgraph import from_decoded
 from .models import ema as ema_lib
 from .parallel import create_mesh, make_parallel_train_step, replicate, shard_batch
 from .sampling.harness import make_cond_sampling_fn

@@ -9,7 +9,7 @@ device->host boundary producing per-molecule numpy tuples.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

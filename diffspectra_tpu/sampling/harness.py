@@ -19,7 +19,7 @@ host-side by the evaluation stack when RDKit is available).
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ weighted MSE — lives inside one jitted function.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

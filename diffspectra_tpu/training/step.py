@@ -7,11 +7,8 @@ execution over a mesh is layered on top in ``diffspectra_tpu.parallel``.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..models import ema as ema_lib

@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 from typing import List
 
-import numpy as np
 
 from .evaluation.molgraph import MolGraph
 from .evaluation.rdkit_metric import HAS_RDKIT
