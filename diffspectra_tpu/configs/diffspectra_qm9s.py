@@ -133,6 +133,8 @@ def get_config():
     evaluate.sub_geometry = True
     evaluate.save_mols = "false"
     evaluate.sampling_temperature = 1.0
+    # atom-count buckets for the sampling sweep (empty = single static N)
+    evaluate.bucket_sizes = []
 
     config.seed = 42
     return config

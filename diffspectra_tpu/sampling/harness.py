@@ -84,21 +84,22 @@ def make_cond_sampling_fn(
         only_2d=only_2d,
     )
     num_rounds = int(math.ceil(n_samples / batch_size))
+    bucket_sizes = tuple(sorted(config.eval.get("bucket_sizes", ()))) or (max_n,)
 
-    def _round(variables, rng, context, n_nodes):
-        """One jitted sampling round for a fixed (batch_size, max_n)."""
-        node_mask, edge_mask = M.build_masks(n_nodes, max_n)
+    def _round(variables, rng, context, n_nodes, n_pad):
+        """One jitted sampling round for a fixed (batch_size, n_pad)."""
+        node_mask, edge_mask = M.build_masks(n_nodes, n_pad)
         k_z, k_e, k_s = jax.random.split(rng, 3)
         if only_2d:
             z = M.sample_gaussian_with_mask(
-                k_z, (batch_size, max_n, node_nf), node_mask
+                k_z, (batch_size, n_pad, node_nf), node_mask
             )
         else:
             z = M.sample_combined_position_feature_noise(
-                k_z, batch_size, max_n, node_nf, node_mask
+                k_z, batch_size, n_pad, node_nf, node_mask
             )
         edge_z = M.sample_symmetric_edge_feature_noise(
-            k_e, batch_size, max_n, edge_nf, edge_mask
+            k_e, batch_size, n_pad, edge_nf, edge_mask
         )
 
         ctx_emb = encode_context(model, variables, context)
@@ -118,7 +119,7 @@ def make_cond_sampling_fn(
             x_edge, edge_mask, compress_edge, has_positions=not only_2d,
         )
 
-    round_jit = jax.jit(_round)
+    round_jit = jax.jit(_round, static_argnames=("n_pad",))
 
     def sampling_fn(variables, rng):
         n = len(ds)
@@ -128,37 +129,64 @@ def make_cond_sampling_fn(
             seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
             perm = np.random.default_rng(seed).permutation(n)
 
-        processed: List = []
-        gt_pos: List = []
-        gt_mols: List = []
-        for r in range(num_rounds):
-            rows = perm[r * batch_size : (r + 1) * batch_size]
-            if len(rows) < batch_size:  # wrap to keep static shapes
-                rows = np.concatenate([rows, perm[: batch_size - len(rows)]])
-            data = ds.take(rows)
-            context = _gather_context(data, spectra_version)
-            n_nodes = jnp.asarray(data["num_atom"])
+        # the drawn sample sequence (with wrap-around to full rounds)
+        total = num_rounds * batch_size
+        drawn = perm[np.arange(total) % n]
+        drawn_sizes = ds.arrays["num_atom"][ds.indices[drawn]]
+        # partition positions into atom-count buckets; each bucket pads to
+        # its own static N (config.eval.bucket_sizes; default = one bucket at
+        # max_node). Results are restored to draw order below so the output
+        # ordering matches the unbucketed harness.
+        bucket_of = np.searchsorted(bucket_sizes, drawn_sizes)
 
-            rng, k = jax.random.split(rng)
-            out = round_jit(variables, k, context, n_nodes)
-            if pred_edge:
-                pos, one_hot, fc, edge_types = out
-                processed += mol_process(one_hot, pos, fc, data["num_atom"], edge_types)
-            else:
-                pos, one_hot, fc = out
-                processed += mol_process(one_hot, pos, fc, data["num_atom"])
+        processed: List = [None] * total
+        gt_pos: List = [None] * total
+        gt_mols: List = [None] * total
+        for bi, n_pad in enumerate(bucket_sizes):
+            positions = np.nonzero(bucket_of == bi)[0]
+            for start in range(0, len(positions), batch_size):
+                sel = positions[start : start + batch_size]
+                if len(sel) == 0:
+                    continue
+                if len(sel) < batch_size:  # wrap to keep static shapes
+                    sel = np.concatenate(
+                        [sel, np.repeat(sel[-1], batch_size - len(sel))]
+                    )[:batch_size]
+                rows = drawn[sel]
+                data = ds.take(rows)
+                data = {
+                    k: (
+                        v[:, :n_pad] if k in ("positions", "atom_one_hot", "atom_type", "formal_charges")
+                        else v[:, :n_pad, :n_pad] if k in ("edge_one_hot", "edge_type")
+                        else v
+                    )
+                    for k, v in data.items()
+                }
+                context = _gather_context(data, spectra_version)
+                n_nodes = jnp.asarray(data["num_atom"])
 
-            for i in range(len(rows)):
-                na = int(data["num_atom"][i])
-                gt_pos.append(np.asarray(data["positions"][i][:na]))
-                gt_mols.append(
-                    (
+                rng, k = jax.random.split(rng)
+                out = round_jit(variables, k, context, n_nodes, n_pad=int(n_pad))
+                if pred_edge:
+                    pos, one_hot, fc, edge_types = out
+                    mols = mol_process(one_hot, pos, fc, data["num_atom"], edge_types)
+                else:
+                    pos, one_hot, fc = out
+                    mols = mol_process(one_hot, pos, fc, data["num_atom"])
+
+                for i, dst in enumerate(sel):
+                    dst = int(dst)
+                    if processed[dst] is not None:
+                        continue  # wrap-padding duplicate
+                    processed[dst] = mols[i]
+                    na = int(data["num_atom"][i])
+                    gt_pos[dst] = np.asarray(data["positions"][i][:na])
+                    gt_mols[dst] = (
                         np.asarray(data["positions"][i][:na]),
                         np.asarray(data["atom_type"][i][:na]),
                         np.asarray(data["edge_type"][i][:na, :na]),
                         np.asarray(data["formal_charges"][i][:na, 0]).astype(np.int64),
                     )
-                )
         return processed[:n_samples], gt_pos[:n_samples], gt_mols[:n_samples]
 
     return sampling_fn

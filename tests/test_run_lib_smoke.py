@@ -50,3 +50,54 @@ def test_end_to_end_train_and_eval(tmp_path):
     # trained model emits valence-valid molecules (same gating as the
     # reference's compute_similarity_metrics), so only the dir is asserted
     assert os.path.isdir(eval_dir)
+
+
+def test_bucketed_sampling_harness(tmp_path):
+    """Bucketed eval sampling produces per-molecule outputs in draw order,
+    identical shapes and pairings as the single-bucket path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffspectra_tpu.data import get_dataset
+    from diffspectra_tpu.diffusion import NoiseScheduleVP
+    from diffspectra_tpu.models.dmt import DMT
+    from diffspectra_tpu.sampling.harness import make_cond_sampling_fn
+    from diffspectra_tpu.utils.scalers import get_data_inverse_scaler
+
+    cfg = smoke.get_config()
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.data.max_node = 16
+    cfg.data.synthetic_size = 64
+    cfg.sampling.steps = 4
+    cfg.eval.bucket_sizes = [12, 16]
+
+    _, _, _, test_ds, _ = get_dataset(cfg)
+    model = DMT.from_config(cfg)
+    sch = NoiseScheduleVP(cfg.sde.schedule)
+    inverse = get_data_inverse_scaler(cfg)
+
+    key = jax.random.PRNGKey(0)
+    n = cfg.data.max_node
+    bs = 4
+    from diffspectra_tpu.utils import masks as M
+
+    node_mask, edge_mask = M.build_masks(jnp.full((bs,), n), n)
+    variables = model.init(
+        key, jnp.zeros((bs,)), jnp.zeros((bs, n, 9)), node_mask, edge_mask,
+        jnp.abs(jax.random.normal(key, (bs, 3501))),
+        edge_x=jnp.zeros((bs, n, n, 2)), noise_level=jnp.zeros((bs,)),
+    )
+
+    fn = make_cond_sampling_fn(
+        cfg, model, sch, batch_size=bs, n_samples=8, inverse_scaler=inverse,
+        ds=test_ds, fixed_seed=42,
+    )
+    mols, gt_pos, gt_mols = fn(variables, jax.random.PRNGKey(1))
+    assert len(mols) == 8 and len(gt_mols) == 8
+    for pred, gt in zip(mols, gt_mols):
+        assert pred is not None
+        # prediction size matches its ground truth molecule
+        assert pred[1].shape[0] == gt[1].shape[0]
