@@ -3,7 +3,10 @@
 rdmols for the metric reference sets (ref run_lib.py:340-342); here the same
 role is served against the packed dataset store."""
 
-from . import diffspectra_qm9s
+try:
+    from . import diffspectra_qm9s
+except ImportError:  # loaded standalone by ml_collections config_flags
+    from diffspectra_tpu.configs import diffspectra_qm9s
 
 
 def get_config():

@@ -1,7 +1,10 @@
 """Tiny CPU smoke config (BASELINE.json config 1): QM9S IR-only, small DMT,
 batch 8, 50 diffusion steps — used by tests and the end-to-end smoke run."""
 
-from . import diffspectra_qm9s
+try:
+    from . import diffspectra_qm9s
+except ImportError:  # loaded standalone by ml_collections config_flags
+    from diffspectra_tpu.configs import diffspectra_qm9s
 
 
 def get_config():

@@ -1,7 +1,10 @@
 """Tiny 2D-only smoke config (only_2D pipeline: atoms + bonds, no
 positions; ref config surface ``config.only_2D``)."""
 
-from . import smoke
+try:
+    from . import smoke
+except ImportError:  # loaded standalone by ml_collections config_flags
+    from diffspectra_tpu.configs import smoke
 
 
 def get_config():
