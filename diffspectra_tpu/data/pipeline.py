@@ -227,3 +227,30 @@ def inf_iterator(make_iter):
         for batch in make_iter(epoch):
             yield batch
         epoch += 1
+
+
+def prefetch(iterator, size: int = 2):
+    """Background-thread prefetch: overlaps host batch assembly (gather,
+    collate, C++ packing) with device compute — the TPU-side replacement for
+    the reference's 16 DataLoader workers (ref configs/diffspectra_qm9s.py:21;
+    one thread suffices because collation is vectorised numpy/C++)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -20,6 +20,7 @@ import numpy as np
 from . import checkpoint as ckpt_lib
 from . import visualize
 from .data import get_dataset, get_batch_iterator, inf_iterator
+from .data.pipeline import prefetch
 from .data.pipeline import augment_positions
 from .diffusion import NoiseScheduleVP
 from .evaluation import get_2D_edm_metric, get_edm_metric
@@ -144,7 +145,7 @@ def diffspectra_train(config, config_original_qm9, workdir):
             seed=config.seed + epoch, drop_last=True, bucket_sizes=bucket_sizes,
         )
 
-    train_iter = inf_iterator(make_train_iter)
+    train_iter = prefetch(inf_iterator(make_train_iter), size=2)
     first_batch = next(train_iter)
 
     rng = jax.random.PRNGKey(config.seed)

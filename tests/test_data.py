@@ -137,3 +137,25 @@ def test_bucketed_batching():
         total += len(batch["num_atom"])
     assert len(seen_sizes) > 1
     assert total > 0
+
+
+def test_prefetch_preserves_stream():
+    from diffspectra_tpu.data.pipeline import prefetch
+
+    out = list(prefetch(iter(range(17)), size=3))
+    assert out == list(range(17))
+
+
+def test_visualize_writes_xyz(tmp_path):
+    from diffspectra_tpu.evaluation.molgraph import MolGraph
+    from diffspectra_tpu.visualize import visualize_mols
+
+    g = MolGraph(
+        ["C", "H"], np.zeros(2, np.int64),
+        np.array([[0, 1], [1, 0]], np.int64),
+        np.array([[0.0, 0, 0], [1.09, 0, 0]]),
+    )
+    visualize_mols([g, g], str(tmp_path))
+    content = open(tmp_path / "mol_0.xyz").read()
+    assert content.startswith("2\n")
+    assert "C 0.000000" in content
