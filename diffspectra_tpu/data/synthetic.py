@@ -75,14 +75,42 @@ def _random_tree_molecule(rng, n, max_n):
     return out_types, out_pos, edge
 
 
-def _smooth_spectrum(rng, length, n_peaks=12):
+def _structure_spectrum(rng, length, atom_types, edge_type, n_atoms, channel):
+    """Deterministic structure -> spectrum mapping (+ small noise).
+
+    Each (atom_a, atom_b, bond_order) pattern contributes a Gaussian peak at
+    a fixed pattern-specific frequency with amplitude proportional to its
+    count, plus element-count baseline peaks — so the conditional model can
+    actually recover structure from the spectrum (real QM9S spectra are DFT
+    functions of the structure; random spectra would make conditioning
+    uninformative)."""
     x = np.arange(length, dtype=np.float64)
     y = np.zeros(length)
-    for _ in range(n_peaks):
-        c = rng.uniform(0, length)
-        w = rng.uniform(length / 200, length / 30)
-        a = rng.uniform(0.5, 50.0)
-        y += a * np.exp(-0.5 * ((x - c) / w) ** 2)
+
+    def peak(center_frac, width_frac, amp):
+        c = center_frac * (length - 1)
+        w = max(width_frac * length, 2.0)
+        return amp * np.exp(-0.5 * ((x - c) / w) ** 2)
+
+    # bond-pattern peaks: fixed frequency per (min(a,b), max(a,b), order, ch)
+    iu, ju = np.nonzero(np.triu(edge_type[:n_atoms, :n_atoms], 1))
+    from collections import Counter
+
+    counts = Counter()
+    for i, j in zip(iu, ju):
+        a, b = sorted((int(atom_types[i]), int(atom_types[j])))
+        counts[(a, b, int(edge_type[i, j]))] += 1
+    for (a, b, o), cnt in counts.items():
+        h = (a * 131 + b * 31 + o * 7 + channel * 61) % 97
+        y += peak(0.05 + 0.9 * h / 97.0, 0.01, 8.0 * cnt)
+    # element-count baseline peaks
+    for elem in range(5):
+        n_e = int(np.sum(atom_types[:n_atoms] == elem))
+        if n_e:
+            h = (elem * 17 + channel * 29) % 23
+            y += peak(0.1 + 0.8 * h / 23.0, 0.03, 3.0 * n_e)
+    # small stochastic background so spectra aren't exactly degenerate
+    y += np.abs(rng.normal(0, 0.1, size=length))
     return y.astype(np.float32)
 
 
@@ -107,8 +135,15 @@ def generate(seed: int, size: int, max_n: int, info_name: str = "qm9_second_half
             fc[m, i] = rng.choice([-1, 1])
 
     spectra = {
-        k: np.stack([_smooth_spectrum(rng, L) for _ in range(size)])
-        for k, L in SPEC_LENS.items()
+        k: np.stack(
+            [
+                _structure_spectrum(
+                    rng, L, atom_type[m], edge_type[m], int(n_atoms[m]), ch
+                )
+                for m in range(size)
+            ]
+        )
+        for ch, (k, L) in enumerate(SPEC_LENS.items())
     }
     return dict(
         atom_type=atom_type,
