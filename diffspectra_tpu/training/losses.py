@@ -320,3 +320,110 @@ def get_sde_2d_loss_fn(noise_scheduler, scaler, config):
         return jnp.mean(losses), batch_stats
 
     return loss_fn
+
+
+def get_sde_node_loss_fn(noise_scheduler, scaler, config):
+    """Node-features + positions loss, no edges (ref losses.py:128-207).
+
+    Same apply_fn contract as the graph loss; the model is called without
+    edge tensors and returns only node predictions.
+    """
+    reduce_mean = config.training.reduce_mean
+    noise_align = config.model.noise_align
+    pred_data = config.model.pred_data
+    loss_weights = parse_loss_weights(config.model.loss_weights)
+    self_cond = config.model.self_cond
+    include_charges = bool(config.model.include_fc_charge)
+
+    def loss_fn(apply_fn, batch_stats, batch, rng):
+        pos = batch["positions"]
+        node_mask = batch["atom_mask"][..., None]
+        edge_mask = batch["edge_mask"]
+        atom_type = batch["one_hot"] if "one_hot" in batch else batch["atom_one_hot"]
+        fc_charge = (
+            batch["formal_charges"]
+            if include_charges
+            else jnp.zeros(atom_type.shape[:2] + (0,))
+        )
+        pos = M.remove_mean_with_mask(pos, node_mask)
+        pos, atom_type, fc_charge = scaler(pos, atom_type, fc_charge, node_mask)
+        xh = jnp.concatenate([pos, atom_type, fc_charge], axis=2)
+        bs, n_nodes, _ = xh.shape
+        n_atoms = jnp.sum(node_mask[..., 0], axis=-1)
+
+        rng, k_t, k_noise, k_sc = jax.random.split(rng, 4)
+        t = jax.random.uniform(k_t, (bs,)) * (1.0 - T_EPS) + T_EPS
+        alpha_t, sigma_t = noise_scheduler.marginal_prob(t)
+        noise = M.sample_combined_position_feature_noise(
+            k_noise, bs, n_nodes, xh.shape[2] - 3, node_mask
+        )
+        a = alpha_t[:, None, None]
+        sd = sigma_t[:, None, None]
+        z_t = a * xh + sd * noise
+
+        if noise_align:
+            if pred_data:
+                align_pos = get_align_position(z_t, xh)
+            else:
+                noise = get_align_noise(z_t, xh, alpha_t, sigma_t, noise, node_mask)
+                align_pos = xh[:, :, :3]
+        else:
+            align_pos = xh[:, :, :3]
+
+        noise_level = jnp.log(alpha_t**2 / sigma_t**2)
+
+        def call_model(r, stats, cond_x, has_cond):
+            (pred, _), stats = apply_fn(
+                r, stats, t, z_t, node_mask, edge_mask, None,
+                edge_x=jnp.zeros(z_t.shape[:2] + (z_t.shape[1], 0)),
+                noise_level=noise_level, cond_x=cond_x,
+                cond_edge_x=None, has_cond=has_cond,
+            )
+            return pred, stats
+
+        if self_cond:
+            assert pred_data
+            rng, k_m1, k_m2 = jax.random.split(rng, 3)
+            use_sc = jax.random.bernoulli(k_sc, 0.5)
+
+            def with_sc(stats):
+                cond_x, stats = call_model(
+                    k_m1, stats, jnp.zeros_like(xh), jnp.asarray(False)
+                )
+                return call_model(
+                    k_m2, stats, jax.lax.stop_gradient(cond_x), jnp.asarray(True)
+                )
+
+            def without_sc(stats):
+                return call_model(
+                    k_m2, stats, jnp.zeros_like(xh), jnp.asarray(False)
+                )
+
+            pred, batch_stats = jax.lax.cond(use_sc, with_sc, without_sc, batch_stats)
+        else:
+            rng, k_m = jax.random.split(rng)
+            pred, batch_stats = call_model(
+                k_m, batch_stats, jnp.zeros_like(xh), jnp.asarray(False)
+            )
+
+        if pred_data:
+            losses_pos = jnp.sum(
+                jnp.mean(jnp.square(pred[:, :, :3] - align_pos), axis=-1), axis=-1
+            )
+            losses_atom = jnp.sum(
+                jnp.mean(jnp.square(pred[:, :, 3:] - xh[:, :, 3:]), axis=-1), axis=-1
+            )
+        else:
+            sq = jnp.square(noise - pred)
+            losses_pos = jnp.sum(jnp.mean(sq[:, :, :3], axis=-1), axis=-1)
+            losses_atom = jnp.sum(jnp.mean(sq[:, :, 3:], axis=-1), axis=-1)
+
+        if reduce_mean:
+            losses_pos = losses_pos / n_atoms
+            losses_atom = losses_atom / n_atoms
+        losses = loss_weights[0] * losses_pos + loss_weights[1] * losses_atom
+        if pred_data:
+            losses = jnp.sqrt(alpha_t / sigma_t) * losses
+        return jnp.mean(losses), batch_stats
+
+    return loss_fn

@@ -12,7 +12,11 @@ import jax
 import optax
 
 from ..models import ema as ema_lib
-from .losses import get_sde_2d_loss_fn, get_sde_graph_loss_fn
+from .losses import (
+    get_sde_2d_loss_fn,
+    get_sde_graph_loss_fn,
+    get_sde_node_loss_fn,
+)
 from .train_state import TrainState
 
 
@@ -21,11 +25,7 @@ def make_loss_fn(noise_scheduler, scaler, config):
         if config.only_2D:
             return get_sde_2d_loss_fn(noise_scheduler, scaler, config)
         return get_sde_graph_loss_fn(noise_scheduler, scaler, config)
-    raise NotImplementedError(
-        "node-only loss (pred_edge=False) is served by get_sde_graph_loss_fn "
-        "with edge weights zero; the reference never exercises it for "
-        "DiffSpectra (ref configs set pred_edge=True)"
-    )
+    return get_sde_node_loss_fn(noise_scheduler, scaler, config)
 
 
 def _make_apply_fn(model, params, train: bool):
