@@ -571,10 +571,11 @@ def encode_context(model: DMT, variables, context, deterministic: bool = True):
     directly on their parameter subtrees so samplers can hoist the (time
     independent) spectra encoding out of the 1000-step reverse loop.
     """
+    hidden = getattr(model, "hidden_dim", None) or getattr(model, "nf")
     spec = SpecFormer(
         patch_len=model.patch_len,
         stride=model.stride,
-        output_dim=model.hidden_dim,
+        output_dim=hidden,
         spectra_version=model.spectra_version,
     )
     sub = {"params": variables["params"]["cond_encoder"]}

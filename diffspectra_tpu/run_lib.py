@@ -66,8 +66,11 @@ def _init_model_and_state(config, sample_batch, rng):
     model = create_model(config)
     tx = optim_lib.get_optimizer(config)
     n = config.data.max_node
-    bs = sample_batch["positions"].shape[0]
-    xh_dim = 3 + config.data.atom_types + int(config.model.include_fc_charge)
+    bs = sample_batch["atom_mask"].shape[0]
+    # 2D pipelines carry no positions in xh (ref losses.py:494)
+    xh_dim = config.data.atom_types + int(config.model.include_fc_charge)
+    if not config.only_2D:
+        xh_dim += 3
     variables = jax.jit(model.init)(
         rng,
         jnp.zeros((bs,)),
@@ -249,14 +252,17 @@ def diffspectra_train(config, config_original_qm9, workdir):
                 processed_mols, gt_pos, gt_mols = snapshot_sampling_fn(
                     _ema_variables(host_state), k_samp
                 )
-                stability_res, rdkit_res, sample_mols = edm_metric(processed_mols)
-                logging.info(
-                    "step: %d, n_mol: %d, 3D atom stability: %.4f, mol stability: "
-                    "%.4f, validity: %.4f, complete: %.4f, unique & valid: %.4f",
-                    step, len(sample_mols), stability_res["atom_stable"],
-                    stability_res["mol_stable"], rdkit_res["Validity"],
-                    rdkit_res["Complete"], rdkit_res["Unique"],
-                )
+                if not config.only_2D:
+                    stability_res, rdkit_res, sample_mols = edm_metric(processed_mols)
+                    logging.info(
+                        "step: %d, n_mol: %d, 3D atom stability: %.4f, mol stability: "
+                        "%.4f, validity: %.4f, complete: %.4f, unique & valid: %.4f",
+                        step, len(sample_mols), stability_res["atom_stable"],
+                        stability_res["mol_stable"], rdkit_res["Validity"],
+                        rdkit_res["Complete"], rdkit_res["Unique"],
+                    )
+                else:
+                    sample_mols = []
                 stability_res, rdkit_res, complete_mols = edm_metric_2d(processed_mols)
                 logging.info(
                     "step: %d, n_mol: %d, 2D atom stability: %.4f, mol stability: "
@@ -266,7 +272,10 @@ def diffspectra_train(config, config_original_qm9, workdir):
                     rdkit_res["Complete"], rdkit_res["Unique"],
                 )
                 this_sample_dir = os.path.join(sample_dir, f"iter_{step}")
-                visualize.visualize_mols(sample_mols, this_sample_dir, config)
+                visualize.visualize_mols(
+                    sample_mols if sample_mols else complete_mols,
+                    this_sample_dir, config,
+                )
                 gt_dir = os.path.join(sample_dir, f"iter_{step}_gt")
                 atom_decoder = dataset_info["atom_decoder"]
                 gt_graphs = [from_decoded(m, atom_decoder) for m in gt_mols]
@@ -348,15 +357,18 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
             )
             logging.info("Sampling accomplished")
 
-            stability_res, rdkit_res, sample_mols = edm_metric(processed_mols)
-            logging.info(
-                "Metric-3D || atom stability: %.4f, mol stability: %.4f, "
-                "validity: %.4f, complete: %.4f,",
-                stability_res["atom_stable"], stability_res["mol_stable"],
-                rdkit_res["Validity"], rdkit_res["Complete"],
-            )
-            mose_res = mose_metric(sample_mols)
-            logging.info("Metric-3D || FCD: %.4f", mose_res["FCD"])
+            if not config.only_2D:
+                stability_res, rdkit_res, sample_mols = edm_metric(processed_mols)
+                logging.info(
+                    "Metric-3D || atom stability: %.4f, mol stability: %.4f, "
+                    "validity: %.4f, complete: %.4f,",
+                    stability_res["atom_stable"], stability_res["mol_stable"],
+                    rdkit_res["Validity"], rdkit_res["Complete"],
+                )
+                mose_res = mose_metric(sample_mols)
+                logging.info("Metric-3D || FCD: %.4f", mose_res["FCD"])
+            else:
+                sample_mols = []
 
             stability_res, rdkit_res, complete_mols = edm_metric_2d(processed_mols)
             logging.info(
