@@ -18,6 +18,7 @@ host-side by the evaluation stack when RDKit is available).
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import List, Optional
 
@@ -142,6 +143,7 @@ def make_cond_sampling_fn(
         processed: List = [None] * total
         gt_pos: List = [None] * total
         gt_mols: List = [None] * total
+        n_generated = 0
         for bi, n_pad in enumerate(bucket_sizes):
             positions = np.nonzero(bucket_of == bi)[0]
             for start in range(0, len(positions), batch_size):
@@ -174,6 +176,9 @@ def make_cond_sampling_fn(
                     pos, one_hot, fc = out
                     mols = mol_process(one_hot, pos, fc, data["num_atom"])
 
+                n_generated += len(set(sel.tolist()))
+                # per-round progress (ref sampling.py:260)
+                logging.info("Generate %d, Total %d.", n_generated, n_samples)
                 for i, dst in enumerate(sel):
                     dst = int(dst)
                     if processed[dst] is not None:
