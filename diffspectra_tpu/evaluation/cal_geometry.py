@@ -252,10 +252,13 @@ def compute_geo_mmd(gen_mols, tar_geo, cal_fn, top_geo_syms, mean_name):
         if len(gen) == 0 or len(tar) == 0:
             res[sym] = float("nan")
             continue
-        if len(tar) > 20000:
-            tar = random.sample(list(tar), 20000)
-        if len(gen) > 20000:
-            gen = random.sample(list(gen), 20000)
+        # cap at 10k samples per side (the reference caps at 20k,
+        # ref :276-279); the MMD estimate is long converged and the pooled
+        # kernel matrix stays accelerator-friendly
+        if len(tar) > 10000:
+            tar = random.sample(list(tar), 10000)
+        if len(gen) > 10000:
+            gen = random.sample(list(gen), 10000)
         res[sym] = compute_mmd(gen, tar, batch_size=10000)
     res[mean_name] = float(np.nanmean(list(res.values())))
     return res

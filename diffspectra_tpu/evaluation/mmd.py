@@ -1,48 +1,108 @@
 """Multi-kernel Gaussian MMD over scalar samples (ref evaluation/mmd.py:6-63).
 
-Numpy rewrite of the DIG implementation: bandwidth = mean pairwise squared
+Rewrite of the DIG implementation: bandwidth = mean pairwise squared
 distance over the pooled sample, 5 kernels at powers of ``kernel_mul``
-around it. Batched over rows so 20k-sample inputs stay within memory
-(the reference batches identically, ref :30-61).
+around it.
+
+The reference evaluates the O(n^2) kernel sums with torch on the eval
+device; at the 20k-sample cap that is ~2e9 exp evaluations per distribution
+— minutes per geometry symbol in numpy. Here the kernel sums run as a
+single jitted jax program (TPU when available, CPU otherwise), with a
+batched numpy fallback.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-
-def _batched_kernel_sum(a, b, bandwidths, batch_size):
-    """sum_i sum_j sum_k exp(-(a_i - b_j)^2 / bw_k), batched over a."""
-    total = 0.0
-    for start in range(0, len(a), batch_size):
-        chunk = a[start : start + batch_size]
-        d2 = (chunk[:, None] - b[None, :]) ** 2
-        for bw in bandwidths:
-            total += np.exp(-d2 / bw).sum()
-    return total
+_JIT_CACHE = {}
 
 
-def compute_mmd(source, target, batch_size=1000, kernel_mul=2.0, kernel_num=5, fix_sigma=None):
-    source = np.asarray(source, dtype=np.float64).reshape(-1)
-    target = np.asarray(target, dtype=np.float64).reshape(-1)
-    n_source, n_target = len(source), len(target)
-    n_samples = n_source + n_target
-    total = np.concatenate([source, target])
+def _kernel_sums_jax(total, n_source, kernel_mul, kernel_num):
+    import jax
+    import jax.numpy as jnp
 
-    if fix_sigma:
-        bandwidth = fix_sigma
-    else:
-        bandwidth = 0.0
-        for start in range(0, n_samples, batch_size):
-            chunk = total[start : start + batch_size]
-            bandwidth += ((total[None, :] - chunk[:, None]) ** 2).sum()
-        bandwidth /= n_samples**2 - n_samples
+    key = (int(total.shape[0]), int(n_source), float(kernel_mul), int(kernel_num))
+    if key not in _JIT_CACHE:
+
+        @jax.jit
+        def f(total):
+            n = total.shape[0]
+            d2 = (total[None, :] - total[:, None]) ** 2
+            bandwidth = jnp.sum(d2) / (n * n - n)
+            bandwidth = bandwidth / (kernel_mul ** (kernel_num // 2))
+            kernels = jnp.zeros_like(d2)
+            for i in range(kernel_num):
+                kernels = kernels + jnp.exp(-d2 / (bandwidth * kernel_mul**i))
+            xx = jnp.sum(kernels[:n_source, :n_source])
+            yy = jnp.sum(kernels[n_source:, n_source:])
+            xy = jnp.sum(kernels[:n_source, n_source:])
+            return xx, yy, xy
+
+        _JIT_CACHE[key] = f
+    return _JIT_CACHE[key](total)
+
+
+def _kernel_sums_numpy(total, n_source, kernel_mul, kernel_num, batch_size):
+    n = len(total)
+    bandwidth = 0.0
+    for start in range(0, n, batch_size):
+        chunk = total[start : start + batch_size]
+        bandwidth += ((total[None, :] - chunk[:, None]) ** 2).sum()
+    bandwidth /= n**2 - n
     bandwidth /= kernel_mul ** (kernel_num // 2)
     bandwidths = [bandwidth * (kernel_mul**i) for i in range(kernel_num)]
 
-    xx = _batched_kernel_sum(source, source, bandwidths, batch_size) / (n_source**2)
-    yy = _batched_kernel_sum(target, target, bandwidths, batch_size) / (n_target**2)
-    xy = _batched_kernel_sum(source, target, bandwidths, batch_size) / (
-        n_source * n_target
-    )
-    return float(xx + yy - 2 * xy)
+    xx = yy = xy = 0.0
+    for start in range(0, n, batch_size):
+        chunk = total[start : start + batch_size]
+        d2 = (chunk[:, None] - total[None, :]) ** 2
+        k = sum(np.exp(-d2 / bw) for bw in bandwidths)
+        rows = np.arange(start, min(start + batch_size, n))
+        src_rows = rows < n_source
+        xx += k[src_rows][:, :n_source].sum()
+        yy += k[~src_rows][:, n_source:].sum()
+        xy += k[src_rows][:, n_source:].sum()
+    return xx, yy, xy
+
+
+def compute_mmd(source, target, batch_size=1000, kernel_mul=2.0, kernel_num=5, fix_sigma=None):
+    source = np.asarray(source, dtype=np.float32).reshape(-1)
+    target = np.asarray(target, dtype=np.float32).reshape(-1)
+    n_source, n_target = len(source), len(target)
+    total = np.concatenate([source, target])
+
+    if fix_sigma:
+        # fixed-bandwidth path (rarely used) stays in numpy
+        bandwidths = [
+            fix_sigma / (kernel_mul ** (kernel_num // 2)) * (kernel_mul**i)
+            for i in range(kernel_num)
+        ]
+        xx = yy = xy = 0.0
+        for start in range(0, len(total), batch_size):
+            chunk = total[start : start + batch_size]
+            d2 = (chunk[:, None] - total[None, :]) ** 2
+            k = sum(np.exp(-d2 / bw) for bw in bandwidths)
+            rows = np.arange(start, min(start + batch_size, len(total)))
+            src_rows = rows < n_source
+            xx += k[src_rows][:, :n_source].sum()
+            yy += k[~src_rows][:, n_source:].sum()
+            xy += k[src_rows][:, n_source:].sum()
+    else:
+        # the dense pooled kernel matrix is (n_src+n_tgt)^2 floats; keep the
+        # jitted path under ~2GB and fall back to batched numpy beyond
+        if len(total) <= 22000:
+            try:
+                xx, yy, xy = _kernel_sums_jax(total, n_source, kernel_mul, kernel_num)
+                xx, yy, xy = float(xx), float(yy), float(xy)
+            except Exception:  # pragma: no cover - no accelerator memory etc.
+                xx, yy, xy = _kernel_sums_numpy(
+                    total.astype(np.float64), n_source, kernel_mul, kernel_num,
+                    batch_size,
+                )
+        else:
+            xx, yy, xy = _kernel_sums_numpy(
+                total.astype(np.float64), n_source, kernel_mul, kernel_num, batch_size
+            )
+
+    return float(xx / (n_source**2) + yy / (n_target**2) - 2 * xy / (n_source * n_target))
