@@ -39,40 +39,116 @@ def _sample_n_atoms(rng, info, size):
     return rng.choice(ns, size=size, p=probs)
 
 
-def _random_tree_molecule(rng, n, max_n):
-    """Build a random tree-structured molecule with plausible geometry."""
-    # heavy atoms first, hydrogens last (rough QM9 flavour: ~half H)
-    n_heavy = max(1, int(round(n * rng.uniform(0.4, 0.55))))
-    types = np.zeros(n, dtype=np.int64)
-    types[:n_heavy] = rng.choice([1, 2, 3, 4], size=n_heavy, p=[0.72, 0.12, 0.14, 0.02])
-    # positions: random walk for heavy skeleton, H attached
-    pos = np.zeros((n, 3), dtype=np.float64)
-    parent = np.full(n, -1, dtype=np.int64)
-    for i in range(1, n_heavy):
-        parent[i] = rng.integers(0, i)
-    for i in range(n_heavy, n):
-        parent[i] = rng.integers(0, n_heavy)
-    for i in range(1, n):
-        p = parent[i]
-        d = rng.normal(size=3)
-        d /= np.linalg.norm(d) + 1e-9
-        blen = _BOND_LEN[types[p], types[i]] * rng.uniform(0.97, 1.03)
-        pos[i] = pos[p] + d * blen
-    pos -= pos[:n].mean(0, keepdims=True)
+_VALENCE = np.array([1, 4, 3, 2, 1])  # H, C, N, O, F
 
+
+def _random_tree_molecule(rng, n, max_n):
+    """Build a random VALENCE-CORRECT molecule with plausible geometry.
+
+    A heavy-atom tree is grown respecting remaining valences, bond orders are
+    upgraded only where both endpoints have spare valence, and hydrogens fill
+    every remaining slot — so the ground-truth set passes the same stability
+    checks real QM9 molecules do (evaluation/bond_analyze.py valence rules)
+    and validity/novelty/similarity metrics are meaningful on synthetic data.
+    May return fewer than ``n`` atoms (valences bound the H count)."""
+    n_heavy = max(1, int(round(n * rng.uniform(0.35, 0.5))))
+    heavy_types = rng.choice([1, 2, 3, 4], size=n_heavy, p=[0.72, 0.12, 0.14, 0.02])
+    free = _VALENCE[heavy_types].astype(np.int64)
+
+    bonds = {}  # (i, j) -> order over heavy atoms
+    order_in_tree = [0]
+    for i in range(1, n_heavy):
+        candidates = [j for j in order_in_tree if free[j] >= 1]
+        if not candidates or free[i] < 1:
+            # cannot attach more heavy atoms; stop growing
+            n_heavy = i
+            heavy_types = heavy_types[:n_heavy]
+            free = free[:n_heavy]
+            break
+        p = int(rng.choice(candidates))
+        bonds[(p, i)] = 1
+        free[p] -= 1
+        free[i] -= 1
+        order_in_tree.append(i)
+
+    # bond-order upgrades where both endpoints have spare valence
+    for (a, b) in list(bonds):
+        if rng.random() < 0.2:
+            extra = int(rng.choice([1, 2], p=[0.85, 0.15]))
+            extra = min(extra, free[a], free[b])
+            if extra > 0:
+                bonds[(a, b)] += extra
+                free[a] -= extra
+                free[b] -= extra
+
+    # hydrogens MUST fill every remaining valence (validity); if the total
+    # exceeds max_n, drop trailing heavy atoms (and their bonds) first
+    def required_h(nh):
+        return int(free[:nh].sum())
+
+    while n_heavy > 1 and n_heavy + required_h(n_heavy) > max_n:
+        # remove the last heavy atom: restore valence consumed by its bonds
+        i = n_heavy - 1
+        for (a, b) in [k for k in bonds if i in k]:
+            o = bonds.pop((a, b))
+            other = a if b == i else b
+            free[other] += o
+        n_heavy -= 1
+        heavy_types = heavy_types[:n_heavy]
+        free = free[:n_heavy]
+    h_hosts = []
+    for i in range(n_heavy):
+        h_hosts += [i] * int(free[i])
+    rng.shuffle(h_hosts)
+    n_total = n_heavy + len(h_hosts)
+
+    types = np.zeros(n_total, dtype=np.int64)
+    types[:n_heavy] = heavy_types
     edge = np.zeros((max_n, max_n), dtype=np.int64)
-    for i in range(1, n):
-        order = 1
-        if types[i] != 0 and types[parent[i]] != 0 and rng.random() < 0.15:
-            order = rng.choice([2, 3], p=[0.85, 0.15])
-        edge[i, parent[i]] = order
-        edge[parent[i], i] = order
+    for (a, b), o in bonds.items():
+        edge[a, b] = edge[b, a] = o
+    for k, host in enumerate(h_hosts):
+        i = n_heavy + k
+        edge[i, host] = edge[host, i] = 1
+
+    # geometry: place each atom near its (first) bonded parent
+    pos = np.zeros((n_total, 3), dtype=np.float64)
+    placed = {0}
+    parent = np.full(n_total, -1, dtype=np.int64)
+    for (a, b) in bonds:
+        parent[b] = a if parent[b] < 0 else parent[b]
+        parent[a] = parent[a]
+    for k, host in enumerate(h_hosts):
+        parent[n_heavy + k] = host
+    # rejection-sample directions so non-bonded atoms keep their distance
+    # (the 3D stability metric infers bonds from distances,
+    # evaluation/bond_analyze.py:108-133 — clashes create spurious bonds)
+    for i in range(1, n_total):
+        p = parent[i] if parent[i] >= 0 else 0
+        blen = _BOND_LEN[types[p], types[i]] * rng.uniform(0.97, 1.03)
+        best, best_min = None, -1.0
+        for _ in range(24):
+            d = rng.normal(size=3)
+            d /= np.linalg.norm(d) + 1e-9
+            cand = pos[p] + d * blen
+            others = np.delete(np.arange(i), p)
+            min_dist = (
+                np.min(np.linalg.norm(pos[others] - cand, axis=1))
+                if len(others)
+                else np.inf
+            )
+            if min_dist > best_min:
+                best, best_min = cand, min_dist
+            if min_dist > 1.8:
+                break
+        pos[i] = best
+    pos -= pos.mean(0, keepdims=True)
 
     out_pos = np.zeros((max_n, 3), dtype=np.float32)
-    out_pos[:n] = pos
+    out_pos[:n_total] = pos
     out_types = np.zeros(max_n, dtype=np.int64)
-    out_types[:n] = types
-    return out_types, out_pos, edge
+    out_types[:n_total] = types
+    return out_types, out_pos, edge, n_total
 
 
 def _structure_spectrum(rng, length, atom_types, edge_type, n_atoms, channel):
@@ -127,12 +203,14 @@ def generate(seed: int, size: int, max_n: int, info_name: str = "qm9_second_half
     edge_type = np.zeros((size, max_n, max_n), dtype=np.int64)
     fc = np.zeros((size, max_n), dtype=np.int64)
     for m in range(size):
-        t, p, e = _random_tree_molecule(rng, int(n_atoms[m]), max_n)
-        atom_type[m], pos[m], edge_type[m] = t, p, e
-        # sprinkle rare formal charges (ref atom_fc_num stats)
-        if rng.random() < 0.02:
-            i = rng.integers(0, n_atoms[m])
-            fc[m, i] = rng.choice([-1, 1])
+        t, p, e, n_total = _random_tree_molecule(rng, int(n_atoms[m]), max_n)
+        atom_type[m, : len(t)] = t
+        pos[m, : len(p)] = p
+        edge_type[m] = e
+        n_atoms[m] = n_total
+        # formal charges stay zero: the generator builds neutral
+        # valence-saturated molecules (charged species would need different
+        # bond counts per allowed_fc_bonds)
 
     spectra = {
         k: np.stack(
