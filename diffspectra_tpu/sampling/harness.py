@@ -144,6 +144,37 @@ def make_cond_sampling_fn(
         gt_pos: List = [None] * total
         gt_mols: List = [None] * total
         n_generated = 0
+
+        def decode(pending):
+            """Host decode of a finished round (runs while the next round's
+            device work is already dispatched — JAX async dispatch pipelines
+            host decode with device sampling)."""
+            nonlocal n_generated
+            out, data, sel = pending
+            if pred_edge:
+                pos, one_hot, fc, edge_types = out
+                mols = mol_process(one_hot, pos, fc, data["num_atom"], edge_types)
+            else:
+                pos, one_hot, fc = out
+                mols = mol_process(one_hot, pos, fc, data["num_atom"])
+            n_generated += len(set(sel.tolist()))
+            # per-round progress (ref sampling.py:260)
+            logging.info("Generate %d, Total %d.", n_generated, n_samples)
+            for i, dst in enumerate(sel):
+                dst = int(dst)
+                if processed[dst] is not None:
+                    continue  # wrap-padding duplicate
+                processed[dst] = mols[i]
+                na = int(data["num_atom"][i])
+                gt_pos[dst] = np.asarray(data["positions"][i][:na])
+                gt_mols[dst] = (
+                    np.asarray(data["positions"][i][:na]),
+                    np.asarray(data["atom_type"][i][:na]),
+                    np.asarray(data["edge_type"][i][:na, :na]),
+                    np.asarray(data["formal_charges"][i][:na, 0]).astype(np.int64),
+                )
+
+        pending = None
         for bi, n_pad in enumerate(bucket_sizes):
             positions = np.nonzero(bucket_of == bi)[0]
             for start in range(0, len(positions), batch_size):
@@ -169,29 +200,11 @@ def make_cond_sampling_fn(
 
                 rng, k = jax.random.split(rng)
                 out = round_jit(variables, k, context, n_nodes, n_pad=int(n_pad))
-                if pred_edge:
-                    pos, one_hot, fc, edge_types = out
-                    mols = mol_process(one_hot, pos, fc, data["num_atom"], edge_types)
-                else:
-                    pos, one_hot, fc = out
-                    mols = mol_process(one_hot, pos, fc, data["num_atom"])
-
-                n_generated += len(set(sel.tolist()))
-                # per-round progress (ref sampling.py:260)
-                logging.info("Generate %d, Total %d.", n_generated, n_samples)
-                for i, dst in enumerate(sel):
-                    dst = int(dst)
-                    if processed[dst] is not None:
-                        continue  # wrap-padding duplicate
-                    processed[dst] = mols[i]
-                    na = int(data["num_atom"][i])
-                    gt_pos[dst] = np.asarray(data["positions"][i][:na])
-                    gt_mols[dst] = (
-                        np.asarray(data["positions"][i][:na]),
-                        np.asarray(data["atom_type"][i][:na]),
-                        np.asarray(data["edge_type"][i][:na, :na]),
-                        np.asarray(data["formal_charges"][i][:na, 0]).astype(np.int64),
-                    )
+                if pending is not None:
+                    decode(pending)
+                pending = (out, data, sel)
+        if pending is not None:
+            decode(pending)
         return processed[:n_samples], gt_pos[:n_samples], gt_mols[:n_samples]
 
     return sampling_fn
