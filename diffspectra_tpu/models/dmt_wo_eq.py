@@ -48,64 +48,67 @@ class DenseTransLayer(nn.Module):
     heads: int
     dropout: float = 0.0
     trans_ver: str = "v2"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, edge_attr, edge_mask, deterministic=True):
         H = self.heads
         C = self.node_dim // H
         B, N, _ = x.shape
+        x = x.astype(self.dtype)
+        edge_attr = edge_attr.astype(self.dtype)
 
         if self.trans_ver == "v1":
-            q = nn.Dense(H * C, name="lin_query")(x).reshape(B, N, H, C)
-            k = nn.Dense(H * C, name="lin_key")(x).reshape(B, N, H, C)
-            v = nn.Dense(H * C, name="lin_value")(x).reshape(B, N, H, C)
+            q = nn.Dense(H * C, dtype=self.dtype, name="lin_query")(x).reshape(B, N, H, C)
+            k = nn.Dense(H * C, dtype=self.dtype, name="lin_key")(x).reshape(B, N, H, C)
+            v = nn.Dense(H * C, dtype=self.dtype, name="lin_value")(x).reshape(B, N, H, C)
             e0 = jnp.tanh(
-                nn.Dense(H * C, use_bias=False, name="lin_edge0")(edge_attr)
+                nn.Dense(H * C, use_bias=False, dtype=self.dtype, name="lin_edge0")(edge_attr)
                 .reshape(B, N, N, H, C)
             )
             e1 = jnp.tanh(
-                nn.Dense(H * C, use_bias=False, name="lin_edge1")(edge_attr)
+                nn.Dense(H * C, use_bias=False, dtype=self.dtype, name="lin_edge1")(edge_attr)
                 .reshape(B, N, N, H, C)
             )
-            alpha = jnp.einsum("bihc,bjhc,bijhc->bijh", q, k, e0) / math.sqrt(C)
+            alpha = jnp.einsum("bihc,bjhc,bijhc->bijh", q, k, e0).astype(jnp.float32) / math.sqrt(C)
             alpha = jnp.where(edge_mask[..., None] > 0, alpha, MASK_INF)
-            alpha = jax.nn.softmax(alpha, axis=2)
+            alpha = jax.nn.softmax(alpha, axis=2).astype(self.dtype)
             alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
             out = jnp.einsum("bjhc,bijhc,bijh->bihc", v, e1, alpha)
         elif self.trans_ver == "v2":
-            qkv = nn.Dense(H * C * 3, name="lin_qkv")(x).reshape(B, N, H, 3, C)
+            qkv = nn.Dense(H * C * 3, dtype=self.dtype, name="lin_qkv")(x).reshape(B, N, H, 3, C)
             q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
-            ekv = nn.Dense(H * C * 2, use_bias=False, name="lin_kv_e")(edge_attr)
+            ekv = nn.Dense(H * C * 2, use_bias=False, dtype=self.dtype, name="lin_kv_e")(edge_attr)
             ekv = ekv.reshape(B, N, N, H, 2, C)
             ek, ev = ekv[..., 0, :], ekv[..., 1, :]
             # alpha_ij = q_i . (k_j + ek_ij) / sqrt(C) (ref :240-250)
             alpha = (
                 jnp.einsum("bihc,bjhc->bijh", q, k)
                 + jnp.einsum("bihc,bijhc->bijh", q, ek)
-            ) / math.sqrt(C)
+            ).astype(jnp.float32) / math.sqrt(C)
             alpha = jnp.where(edge_mask[..., None] > 0, alpha, MASK_INF)
-            alpha = jax.nn.softmax(alpha, axis=2)
+            alpha = jax.nn.softmax(alpha, axis=2).astype(self.dtype)
             alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
             out = jnp.einsum("bijh,bjhc->bihc", alpha, v) + jnp.einsum(
                 "bijh,bijhc->bihc", alpha, ev
             )
         elif self.trans_ver == "optim":
-            qkv = nn.Dense(H * C * 3, name="lin_qkv")(x).reshape(B, N, H, 3, C)
+            qkv = nn.Dense(H * C * 3, dtype=self.dtype, name="lin_qkv")(x).reshape(B, N, H, 3, C)
             q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
             ekv = jnp.tanh(
-                nn.Dense(H * C * 2, use_bias=False, name="lin_edge")(edge_attr)
+                nn.Dense(H * C * 2, use_bias=False, dtype=self.dtype, name="lin_edge")(edge_attr)
             ).reshape(B, N, N, H, 2, C)
             ek, ev = ekv[..., 0, :], ekv[..., 1, :]
-            alpha = jnp.einsum("bihc,bjhc,bijhc->bijh", q, k, ek) / math.sqrt(C)
+            alpha = jnp.einsum("bihc,bjhc,bijhc->bijh", q, k, ek).astype(jnp.float32) / math.sqrt(C)
             alpha = jnp.where(edge_mask[..., None] > 0, alpha, MASK_INF)
-            alpha = jax.nn.softmax(alpha, axis=2)
+            alpha = jax.nn.softmax(alpha, axis=2).astype(self.dtype)
             alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
             out = jnp.einsum("bjhc,bijhc,bijh->bihc", v, ev, alpha)
         else:
             raise ValueError(f"unknown trans_ver {self.trans_ver!r}")
 
-        out = out.reshape(B, N, H * C)
-        return nn.Dense(H * C, name="proj")(out)
+        out = out.reshape(B, N, H * C).astype(self.dtype)
+        return nn.Dense(H * C, dtype=self.dtype, name="proj")(out).astype(jnp.float32)
 
 
 class DMTWoEqBlock(nn.Module):
@@ -121,6 +124,7 @@ class DMTWoEqBlock(nn.Module):
     dropout: float = 0.0
     pair_update: bool = True
     trans_ver: str = "v2"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -137,12 +141,12 @@ class DMTWoEqBlock(nn.Module):
         dropout = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         def ff_node(x):
-            x = dropout(nn.gelu(nn.Dense(self.node_dim * self.mlp_ratio, name="ff_linear1")(x)))
-            return dropout(nn.Dense(self.node_dim, name="ff_linear2")(x))
+            x = dropout(nn.gelu(nn.Dense(self.node_dim * self.mlp_ratio, dtype=self.dtype, name="ff_linear1")(x)))
+            return dropout(nn.Dense(self.node_dim, dtype=self.dtype, name="ff_linear2")(x).astype(jnp.float32))
 
         def ff_edge(x):
-            x = dropout(nn.gelu(nn.Dense(self.edge_dim * self.mlp_ratio, name="ff_linear3")(x)))
-            return dropout(nn.Dense(self.edge_dim, name="ff_linear4")(x))
+            x = dropout(nn.gelu(nn.Dense(self.edge_dim * self.mlp_ratio, dtype=self.dtype, name="ff_linear3")(x)))
+            return dropout(nn.Dense(self.edge_dim, dtype=self.dtype, name="ff_linear4")(x).astype(jnp.float32))
 
         if self.cond_time:
             node_mods = jnp.split(
@@ -171,7 +175,7 @@ class DMTWoEqBlock(nn.Module):
 
         h_node = DenseTransLayer(
             self.node_dim, self.num_heads, dropout=self.dropout,
-            trans_ver=self.trans_ver, name="attn_mpnn",
+            trans_ver=self.trans_ver, dtype=self.dtype, name="attn_mpnn",
         )(h, edge_attr, edge_mask, deterministic=deterministic)
         h_node = h_node * node_mask  # padded rows carry no attention output
 
@@ -197,8 +201,10 @@ class DMTWoEqBlock(nn.Module):
                 "node2edge_bias", nn.initializers.zeros, (self.edge_dim,),
                 jnp.float32,
             )
-            proj_i = h_node @ n2e_kernel[:D]
-            proj_j = h_node @ n2e_kernel[D:]
+            hk = h_node.astype(self.dtype)
+            k_dt = n2e_kernel.astype(self.dtype)
+            proj_i = (hk @ k_dt[:D]).astype(jnp.float32)
+            proj_j = (hk @ k_dt[D:]).astype(jnp.float32)
             h_edge = proj_i[:, :, None, :] + proj_j[:, None, :, :] + n2e_bias
             if self.cond_time:
                 h_edge_res = h_in_edge + e_gate_msa * h_edge
@@ -236,6 +242,7 @@ class _WoEqBlockWithCollect(nn.Module):
     mlp_ratio: int
     dropout: float
     trans_ver: str
+    dtype: jnp.dtype
     cat_node_dim: int
     cat_edge_dim: int
     deterministic: bool
@@ -247,7 +254,7 @@ class _WoEqBlockWithCollect(nn.Module):
             self.node_dim, self.edge_dim, self.time_dim, self.num_heads,
             cond_time=self.cond_time, mlp_ratio=self.mlp_ratio,
             dropout=self.dropout, pair_update=True, trans_ver=self.trans_ver,
-            name="dmt_block",
+            dtype=self.dtype, name="dmt_block",
         )(
             h, edge_attr, node_mask, edge_mask, node_time_emb, edge_time_emb,
             deterministic=self.deterministic,
@@ -280,10 +287,17 @@ class DMT_WO_EQ(nn.Module):
     spectra_version: str = "ir"
     patch_len: tuple = (20, 50, 50)
     stride: tuple = (10, 25, 25)
+    dtype: jnp.dtype = jnp.float32
 
     @staticmethod
     def from_config(config):
+        dtype = (
+            jnp.bfloat16
+            if config.training.get("matmul_precision", "") == "bfloat16"
+            else jnp.float32
+        )
         return DMT_WO_EQ(
+            dtype=dtype,
             in_node_dim=config.data.atom_types + int(config.model.include_fc_charge),
             hidden_dim=config.model.nf,
             edge_hidden_dim=config.model.nf // 4,
@@ -389,6 +403,7 @@ class DMT_WO_EQ(nn.Module):
             mlp_ratio=self.mlp_ratio,
             dropout=self.dropout,
             trans_ver=self.trans_ver,
+            dtype=self.dtype,
             cat_node_dim=cat_node_dim,
             cat_edge_dim=cat_edge_dim,
             deterministic=deterministic,
