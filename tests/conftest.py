@@ -15,3 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize hook registers a TPU PJRT plugin at interpreter
+# start and sets jax_platforms *programmatically*, which overrides the
+# JAX_PLATFORMS env var. Re-assert CPU via jax.config (backends init lazily,
+# so this takes effect as long as no jax.devices() call happened yet).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
