@@ -115,6 +115,20 @@ def get_config():
     optim.grad_clip = 10.0
     optim.disable_grad_log = True
 
+    # SpecFormer masked-patch pretraining (TPU-native addition; the reference
+    # only consumes a pretrained checkpoint — see training/pretrain.py)
+    config.pretrain = pretrain = ml_collections.ConfigDict()
+    pretrain.mask_ratio = 0.4
+    pretrain.n_iters = 200000
+    pretrain.batch_size = 0  # 0 = training.base_batch_size
+    pretrain.lr = 1e-4
+    pretrain.warmup = 10000
+    pretrain.weight_decay = 1e-4
+    pretrain.grad_clip = 1.0
+    pretrain.dropout = 0.1
+    pretrain.log_freq = 500
+    pretrain.snapshot_freq = 20000
+
     # sampling
     config.sampling = sampling = ml_collections.ConfigDict()
     sampling.method = "ancestral"

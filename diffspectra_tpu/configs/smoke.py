@@ -31,6 +31,13 @@ def get_config():
 
     config.optim.warmup = 10
 
+    config.pretrain.n_iters = 10
+    config.pretrain.batch_size = 8
+    config.pretrain.warmup = 2
+    config.pretrain.log_freq = 5
+    config.pretrain.snapshot_freq = 10
+    config.pretrain.dropout = 0.0
+
     config.sampling.steps = 50
 
     config.eval.num_samples = 8

@@ -27,7 +27,12 @@ config_flags.DEFINE_config_file(
     lock_config=True,
 )
 flags.DEFINE_string("workdir", None, "Work directory.")
-flags.DEFINE_enum("mode", None, ["train", "eval"], "Running mode: train or eval")
+flags.DEFINE_enum(
+    "mode", None, ["train", "eval", "pretrain"],
+    "Running mode: train, eval, or pretrain (SpecFormer masked-patch "
+    "self-supervision; TPU-native addition — the reference only consumes a "
+    "pretrained checkpoint, ref dmt.py:268-303)",
+)
 flags.DEFINE_string("eval_folder", "eval", "The folder name for storing evaluation results")
 flags.DEFINE_bool("deterministic", False, "Set random seed for reproducibility")
 flags.mark_flags_as_required(["workdir", "config", "mode"])
@@ -49,6 +54,8 @@ def main(argv):
     os.makedirs(FLAGS.workdir, exist_ok=True)
     if FLAGS.mode == "train":
         log_path = os.path.join(FLAGS.workdir, "stdout.txt")
+    elif FLAGS.mode == "pretrain":
+        log_path = os.path.join(FLAGS.workdir, "pretrain_stdout.txt")
     else:
         log_path = os.path.join(FLAGS.workdir, "eval_stdout.txt")
 
@@ -69,6 +76,10 @@ def main(argv):
         run_lib.evaluate(
             FLAGS.config, FLAGS.config_original_qm9, FLAGS.workdir, FLAGS.eval_folder
         )
+    elif FLAGS.mode == "pretrain":
+        from .training.pretrain import pretrain_specformer
+
+        pretrain_specformer(FLAGS.config, FLAGS.workdir)
     else:
         raise ValueError(f"Mode {FLAGS.mode} not recognized.")
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 import logging
 from typing import Dict, Tuple
 
+import jax
 import numpy as np
 
 from .specformer import used_spectra_indices
@@ -164,9 +165,19 @@ def _merge(dst, src, path=""):
 def load_pretrained_specformer(variables, ckpt_path: str, spectra_version: str,
                                encoder_name: str = "cond_encoder"):
     """Return a copy of ``variables`` with the SpecFormer subtree replaced by
-    pretrained weights (partial, shape-checked — ref dmt.py:290-303)."""
-    state = load_torch_state_dict(ckpt_path)
-    params, stats, matched = specformer_params_from_torch(state, spectra_version)
+    pretrained weights (partial, shape-checked — ref dmt.py:290-303).
+
+    Two checkpoint formats: torch pickles (reference-compatible, prefix-
+    remapped) and .npz files written by the TPU-native pretraining loop
+    (training/pretrain.py::save_specformer_ckpt — flax-keyed, no remap)."""
+    if ckpt_path.endswith(".npz"):
+        from ..training.pretrain import load_specformer_npz
+
+        params, stats = load_specformer_npz(ckpt_path)
+        matched = len(jax.tree_util.tree_leaves(params)) if params else 0
+    else:
+        state = load_torch_state_dict(ckpt_path)
+        params, stats, matched = specformer_params_from_torch(state, spectra_version)
     if matched == 0:
         logging.warning("No matching keys found in the pretrained SpecFormer model.")
         return variables

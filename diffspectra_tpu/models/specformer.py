@@ -162,7 +162,19 @@ class SpecFormer(nn.Module):
         return tuple(out)
 
     @nn.compact
-    def __call__(self, context, deterministic: bool = True):
+    def __call__(
+        self,
+        context,
+        deterministic: bool = True,
+        patch_masks=None,
+        return_tokens: bool = False,
+    ):
+        """``patch_masks``: optional tuple of ``[B, n_patches_i]`` arrays
+        (1 = mask this patch's raw values to zero before projection) used by
+        the masked-patch pretraining objective (training/pretrain.py);
+        zero-masking keeps the parameter tree identical to fine-tuning.
+        ``return_tokens``: return the ``[B, P, d_model]`` encoder tokens
+        instead of the pooled embedding (skips the flatten head)."""
         used = used_spectra_indices(self.spectra_version)
         specs = self.normalize_context(context)
 
@@ -170,6 +182,10 @@ class SpecFormer(nn.Module):
         tokens = []
         for slot, (i, spec) in enumerate(zip(used, specs)):
             patches = unfold_patches(spec, self.patch_len[i], self.stride[i])
+            if patch_masks is not None:
+                patches = jnp.where(
+                    patch_masks[slot][..., None] > 0, 0.0, patches
+                )
             z = nn.Dense(self.d_model, name=f"W_P_{i}")(patches)
             n_patches = patches.shape[1]
             # learned positional embedding, init U(-0.02, 0.02)
@@ -203,10 +219,17 @@ class SpecFormer(nn.Module):
             else:
                 z = layer(z, deterministic=deterministic)
 
+        tokens = z
+
         # Flatten head: [B, P, D] -> [B, P*D] -> [B, output_dim] (ref :428-470)
         z = z.reshape(z.shape[0], -1)
         z = nn.Dense(self.output_dim, name="head_linear")(z)
         z = nn.LayerNorm(name="out_norm")(z)
+        if return_tokens:
+            # (pooled, tokens): the pooled path still runs so the head params
+            # exist in the pretraining tree (the restore surface includes
+            # head.linear/out_norm, ref dmt.py:292-293)
+            return z, tokens
         return z
 
     @staticmethod
