@@ -51,6 +51,8 @@ def main():
     cfg = diffspectra_qm9s.get_config()
     cfg.data.spectra_version = "ir"
     cfg.model.dropout = 0.0
+    # inference path: fully unrolled block scan (see run_lib._inference_model)
+    cfg.model.scan_unroll = cfg.model.n_layers
 
     n = cfg.data.max_node
     bs = BATCH

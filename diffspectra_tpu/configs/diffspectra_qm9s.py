@@ -75,6 +75,10 @@ def get_config():
     model.trans_name = "TransMixLayer"
     model.cond_ch = 1
     model.pretrained_specformer_path = ""
+    # block-scan unroll: 1 for training (fast compile, remat-friendly);
+    # eval/sampling paths unroll fully (0 = n_layers) — see run_lib
+    model.scan_unroll = 1
+    model.scan_unroll_eval = 0
     model.patch_len = [20, 50, 50]
     model.stride = [10, 25, 25]
     # loss

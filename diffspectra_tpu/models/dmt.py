@@ -353,6 +353,10 @@ class DMT(nn.Module):
     stride: tuple = (10, 25, 25)
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # lax.scan unroll factor for the block loop; 1 = rolled (fast compile,
+    # training default), n_layers = fully unrolled (fast inference — no
+    # per-iteration weight slicing/layout copies). Checkpoint-compatible.
+    scan_unroll: int = 1
 
     @staticmethod
     def from_config(config):
@@ -370,6 +374,7 @@ class DMT(nn.Module):
         return DMT(
             dtype=dtype,
             use_pallas=bool(use_pallas),
+            scan_unroll=int(config.model.get("scan_unroll", 1)),
             in_node_dim=config.data.atom_types + int(config.model.include_fc_charge),
             hidden_dim=config.model.nf,
             edge_hidden_dim=config.model.nf // 4,
@@ -495,11 +500,17 @@ class DMT(nn.Module):
         # nn.remat inside the scan rematerialises block activations in the
         # backward pass — without it the scan stacks every layer's pair-grid
         # residuals ([L,B,N,N,H,C] temps) and training OOMs at batch 128.
+        # scan_unroll: inference profiling shows the rolled while-loop spends
+        # ~40% of step time dynamic-slicing stacked per-layer weights out of
+        # HBM and layout-converting carries every iteration; unrolling turns
+        # those into static slices XLA folds away. Param tree is unchanged
+        # (still stacked), so checkpoints are interchangeable across settings.
         ScannedBlocks = nn.scan(
             nn.remat(_BlockWithCollect, static_argnums=()),
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.n_layers,
+            unroll=self.scan_unroll,
         )
         carry = (pos, h, edge_attr, node_mask, edge_mask, extra_adj,
                  node_time_emb, edge_time_emb)

@@ -288,6 +288,9 @@ class DMT_WO_EQ(nn.Module):
     patch_len: tuple = (20, 50, 50)
     stride: tuple = (10, 25, 25)
     dtype: jnp.dtype = jnp.float32
+    # see models/dmt.py: 1 = rolled (training default), n_layers = fully
+    # unrolled (fast inference). Checkpoint-compatible across settings.
+    scan_unroll: int = 1
 
     @staticmethod
     def from_config(config):
@@ -298,6 +301,7 @@ class DMT_WO_EQ(nn.Module):
         )
         return DMT_WO_EQ(
             dtype=dtype,
+            scan_unroll=int(config.model.get("scan_unroll", 1)),
             in_node_dim=config.data.atom_types + int(config.model.include_fc_charge),
             hidden_dim=config.model.nf,
             edge_hidden_dim=config.model.nf // 4,
@@ -392,6 +396,7 @@ class DMT_WO_EQ(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.n_layers,
+            unroll=self.scan_unroll,
         )
         carry = (h, edge_attr, node_mask, edge_mask, node_time_emb, edge_time_emb)
         carry, (cat_h, cat_e) = ScannedBlocks(

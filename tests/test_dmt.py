@@ -180,3 +180,18 @@ def test_dmt_padding_independence():
     np.testing.assert_allclose(
         np.asarray(edge7[:, :5, :5]), np.asarray(edge5), atol=3e-5
     )
+
+
+def test_dmt_scan_unroll_checkpoint_compatible():
+    """scan_unroll is a pure execution-schedule knob: params from a rolled
+    model must produce identical outputs in a fully-unrolled model."""
+    inp = make_inputs(jax.random.PRNGKey(8))
+    rolled = tiny_dmt(scan_unroll=1)
+    variables, (pred_r, edge_r) = init_and_apply(rolled, inp)
+    unrolled = tiny_dmt(scan_unroll=2)  # == n_layers: full unroll
+    pred_u, edge_u = unrolled.apply(
+        variables, inp["t"], inp["xh"], inp["node_mask"], inp["edge_mask"],
+        inp["context"], edge_x=inp["edge_x"], noise_level=inp["noise_level"],
+    )
+    np.testing.assert_allclose(np.asarray(pred_u), np.asarray(pred_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(edge_u), np.asarray(edge_r), atol=1e-6)
