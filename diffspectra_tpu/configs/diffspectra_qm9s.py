@@ -151,8 +151,12 @@ def get_config():
     evaluate.sub_geometry = True
     evaluate.save_mols = "false"
     evaluate.sampling_temperature = 1.0
-    # atom-count buckets for the sampling sweep (empty = single static N)
-    evaluate.bucket_sizes = []
+    # atom-count buckets for the sampling sweep (empty = single static N).
+    # Pair-grid compute scales ~N^2 and the QM9 mean is 18 atoms, so bucketed
+    # padding trims ~2x of the padded compute at full batches (measured
+    # ~1.25-1.6x end-to-end incl. partial final batches per bucket); the
+    # harness restores draw order so outputs match the unbucketed sweep.
+    evaluate.bucket_sizes = [17, 21, 25, 29]
 
     config.seed = 42
     return config

@@ -123,6 +123,12 @@ def make_cond_sampling_fn(
     round_jit = jax.jit(_round, static_argnames=("n_pad",))
 
     def sampling_fn(variables, rng):
+        # Upload parameters ONCE for the whole sweep. Callers hand over host
+        # (numpy) EMA variables; without this, every round's jit call
+        # re-transfers the full parameter tree host->device — measured at
+        # ~3.5s/round through this environment's tunneled TPU link, which
+        # dwarfed the actual 1000-step scan (8.2s at N=29, batch 128).
+        variables = jax.device_put(variables)
         n = len(ds)
         if fixed_seed is not None:
             perm = np.random.default_rng(fixed_seed).permutation(n)
