@@ -1,14 +1,17 @@
 """Benchmark: sampled mols/sec for the 1000-step conditional reverse
 diffusion on the flagship reference-scale DMT (nf=256, 8 blocks, 16 heads,
-IR conditioning, N=29), measured on the available accelerator.
+IR conditioning), measured on the available accelerator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Protocol: compile the jitted scan once, run a timed 50-step scan at batch
-BATCH, extrapolate per-step cost to the reference's 1000-step protocol
-(ref configs/diffspectra_qm9s.py:133, sampling.py:570). The spectra encoder
-runs once per batch (hoisted out of the loop) exactly as in production
-sampling.
+Protocol (matches the production eval pipeline, ref sampling.py:378-460 +
+configs/diffspectra_qm9s.py:133): run the REAL conditional sampling sweep —
+``make_cond_sampling_fn`` with the flagship eval config (atom-count bucketed
+padding, draw-order restore, pipelined host decode) — over BENCH_SAMPLES
+molecules with QM9-realistic atom counts at 1000 ancestral steps, batch
+BENCH_BATCH, and report wall-clock molecules/sec of the second (hot) sweep.
+This measures the deployed path end-to-end: per-round noise init, spectra
+encoding, the jitted 1000-step scan, on-device decode, host mol assembly.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
 the denominator is a documented engineering estimate of the reference
@@ -28,88 +31,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_A100_EST_MOLS_PER_SEC = 0.35
 
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
-TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 25))
-PROTOCOL_STEPS = 1000
+N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1280))
+PROTOCOL_STEPS = int(os.environ.get("BENCH_STEPS", 1000))
 
 
 def main():
+    import logging
+
+    logging.getLogger().setLevel(logging.WARNING)
     import jax
 
-    # persistent compilation cache: the ~5 min scan compile happens once per
-    # machine, later invocations hit the cache
+    # persistent compilation cache: the scan compiles (one per bucket) happen
+    # once per machine, later invocations hit the cache
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    import jax.numpy as jnp
 
+    from diffspectra_tpu import run_lib
     from diffspectra_tpu.configs import diffspectra_qm9s
+    from diffspectra_tpu.data import get_batch_iterator, get_dataset
     from diffspectra_tpu.diffusion import NoiseScheduleVP
-    from diffspectra_tpu.models.dmt import DMT, encode_context
-    from diffspectra_tpu.sampling import AncestralSampler, make_time_steps
-    from diffspectra_tpu.utils import masks as M
-    from diffspectra_tpu.utils.scalers import get_self_cond_fn
+    from diffspectra_tpu.sampling.harness import make_cond_sampling_fn
+    from diffspectra_tpu.utils.scalers import get_data_inverse_scaler
 
     cfg = diffspectra_qm9s.get_config()
     cfg.data.spectra_version = "ir"
+    cfg.data.synthetic = True  # QM9-histogram atom counts, schema-identical
+    cfg.data.synthetic_size = 4096
     cfg.model.dropout = 0.0
-    # inference path: fully unrolled block scan (see run_lib._inference_model)
-    cfg.model.scan_unroll = cfg.model.n_layers
+    cfg.eval.batch_size = BATCH
+    cfg.eval.num_samples = N_SAMPLES
+    cfg.sampling.steps = PROTOCOL_STEPS
+    cfg = run_lib.resolve_runtime_config(cfg, 1)
 
-    n = cfg.data.max_node
-    bs = BATCH
-    key = jax.random.PRNGKey(0)
-    model = DMT.from_config(cfg)
-    sch = NoiseScheduleVP(cfg.sde.schedule)
-
-    # realistic atom-count mix
-    import numpy as np
-
-    rng = np.random.default_rng(0)
-    n_nodes = jnp.asarray(rng.integers(12, n + 1, size=bs))
-    node_mask, edge_mask = M.build_masks(n_nodes, n)
-    ctx = jnp.abs(jax.random.normal(key, (bs, 3501)))
-    xh_dim = 3 + cfg.data.atom_types + 1
-    variables = jax.jit(model.init)(
-        key, jnp.zeros((bs,)), jnp.zeros((bs, n, xh_dim)), node_mask, edge_mask,
-        ctx, edge_x=jnp.zeros((bs, n, n, 2)), noise_level=jnp.zeros((bs,)),
+    _, _, _, test_ds, _ = get_dataset(cfg)
+    init_iter = get_batch_iterator(test_ds, BATCH, "ir", shuffle=False, drop_last=False)
+    rng = jax.random.PRNGKey(0)
+    model, tx, state = run_lib._init_model_and_state(cfg, next(init_iter), rng)
+    noise_scheduler = NoiseScheduleVP(cfg.sde.schedule)
+    sampling_fn = make_cond_sampling_fn(
+        cfg, run_lib._inference_model(cfg), noise_scheduler, BATCH, N_SAMPLES,
+        get_data_inverse_scaler(cfg), test_ds, fixed_seed=42,
     )
+    variables = run_lib._ema_variables(jax.device_get(state))
 
-    def make_sampler(steps):
-        ts = make_time_steps(sch, steps)
-        return AncestralSampler(
-            sch, ts, model_pred_data=True, pred_edge=True, self_cond=True,
-            cond_process_fn=get_self_cond_fn(cfg),
-        )
-
-    sampler = make_sampler(TIMED_STEPS)
-
-    # params are jit ARGUMENTS: closing over them would embed ~7M constants
-    # in the XLA graph and blow up TPU compile time
-    @jax.jit
-    def run(variables, rng):
-        def model_apply(t, x, nm, em, edge_x, nl, cond_x, cond_edge_x, has_cond, c_emb):
-            return model.apply(
-                variables, t, x, nm, em, None, edge_x=edge_x, noise_level=nl,
-                cond_x=cond_x, cond_edge_x=cond_edge_x, has_cond=has_cond,
-                context_emb=c_emb,
-            )
-
-        k1, k2, k3 = jax.random.split(rng, 3)
-        z = M.sample_combined_position_feature_noise(k1, bs, n, xh_dim - 3, node_mask)
-        edge_z = M.sample_symmetric_edge_feature_noise(k2, bs, n, 2, edge_mask)
-        ctx_emb = encode_context(model, variables, ctx)
-        return sampler.sampling(model_apply, k3, z, node_mask, edge_mask, edge_z, ctx_emb)
-
-    # compile
-    x, e = run(variables, jax.random.PRNGKey(1))
-    jax.block_until_ready((x, e))
-    # timed
+    # warm sweep (compiles one scan per bucket; persistent-cached)
+    mols, _, _ = sampling_fn(variables, jax.random.PRNGKey(1))
+    assert len(mols) == N_SAMPLES
+    # timed hot sweep
     t0 = time.perf_counter()
-    x, e = run(variables, jax.random.PRNGKey(2))
-    jax.block_until_ready((x, e))
+    mols, _, _ = sampling_fn(variables, jax.random.PRNGKey(2))
     dt = time.perf_counter() - t0
+    assert len(mols) == N_SAMPLES
 
-    per_step = dt / TIMED_STEPS
-    mols_per_sec = bs / (per_step * PROTOCOL_STEPS)
+    mols_per_sec = N_SAMPLES / dt * (PROTOCOL_STEPS / 1000.0)
     print(
         json.dumps(
             {

@@ -30,16 +30,20 @@ class DenseGINE(nn.Module):
     relu(x_j + e_ij)) (PyG GINEConv semantics, ref cdgs.py:40-42)."""
 
     dim_h: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, edge_attr, adj):
         eps = self.param("eps", nn.initializers.zeros, ())
-        msgs = jax.nn.relu(x[:, None, :, :] + edge_attr)  # [B,N,N,D]
-        agg = jnp.einsum("bij,bijd->bid", adj, msgs)
+        x = x.astype(self.dtype)
+        msgs = jax.nn.relu(x[:, None, :, :] + edge_attr.astype(self.dtype))
+        agg = jnp.einsum("bij,bijd->bid", adj.astype(self.dtype), msgs)
         out = (1 + eps) * x + agg
-        out = nn.Dense(self.dim_h, name="gin_nn_0")(out)
+        out = nn.Dense(self.dim_h, dtype=self.dtype, name="gin_nn_0")(out)
         out = jax.nn.relu(out)
-        return nn.Dense(self.dim_h, name="gin_nn_1")(out)
+        return nn.Dense(self.dim_h, dtype=self.dtype, name="gin_nn_1")(out).astype(
+            jnp.float32
+        )
 
 
 class GroupNormChannels(nn.Module):
@@ -60,6 +64,7 @@ class HybridMPBlock(nn.Module):
     dim_h: int
     num_heads: int = 8
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -73,12 +78,18 @@ class HybridMPBlock(nn.Module):
         adj_mask = edge_mask[..., None]
 
         if temb is not None:
+            temb_act = nn.silu(temb.astype(self.dtype))
             h_edge = (
                 dense_edge
-                + nn.Dense(self.dim_h, name="t_edge")(nn.silu(temb))[:, None, None, :]
+                + nn.Dense(self.dim_h, dtype=self.dtype, name="t_edge")(temb_act)[
+                    :, None, None, :
+                ].astype(dense_edge.dtype)
             ) * adj_mask
             h = (
-                x + nn.Dense(self.dim_h, name="t_node")(nn.silu(temb))[:, None, :]
+                x
+                + nn.Dense(self.dim_h, dtype=self.dtype, name="t_node")(temb_act)[
+                    :, None, :
+                ].astype(x.dtype)
             ) * node_mask
         else:
             h_edge = dense_edge
@@ -87,7 +98,9 @@ class HybridMPBlock(nn.Module):
         drop = lambda v: nn.Dropout(self.dropout)(v, deterministic=deterministic)
 
         # local GINE over the discretised adjacency (ref :117-122)
-        h_local = DenseGINE(self.dim_h, name="local_model")(h, h_edge, adj)
+        h_local = DenseGINE(self.dim_h, dtype=self.dtype, name="local_model")(
+            h, h_edge, adj
+        )
         h_local = h_local * node_mask
         h_local = h_in1 + drop(h_local)
         h_local = GroupNormChannels(self.dim_h, name="norm1_local")(h_local)
@@ -95,7 +108,7 @@ class HybridMPBlock(nn.Module):
         # global attention over all real pairs (ref :125-136)
         h_attn = DenseEdgeGateTransLayer(
             self.dim_h, self.dim_h // self.num_heads, heads=self.num_heads,
-            dropout=self.dropout, name="self_attn",
+            dropout=self.dropout, dtype=self.dtype, name="self_attn",
         )(h, h_edge, edge_mask, deterministic=deterministic)
         h_attn = h_attn * node_mask
         h_attn = h_in1 + drop(h_attn)
@@ -105,12 +118,14 @@ class HybridMPBlock(nn.Module):
         h_edge = h[:, :, None, :] + h[:, None, :, :]
 
         def ff_node(v):
-            v = drop(nn.silu(nn.Dense(self.dim_h * 2, name="ff_linear1")(v)))
-            return drop(nn.Dense(self.dim_h, name="ff_linear2")(v))
+            v = v.astype(self.dtype)
+            v = drop(nn.silu(nn.Dense(self.dim_h * 2, dtype=self.dtype, name="ff_linear1")(v)))
+            return drop(nn.Dense(self.dim_h, dtype=self.dtype, name="ff_linear2")(v).astype(jnp.float32))
 
         def ff_edge(v):
-            v = drop(nn.silu(nn.Dense(self.dim_h * 2, name="ff_linear3")(v)))
-            return drop(nn.Dense(self.dim_h, name="ff_linear4")(v))
+            v = v.astype(self.dtype)
+            v = drop(nn.silu(nn.Dense(self.dim_h * 2, dtype=self.dtype, name="ff_linear3")(v)))
+            return drop(nn.Dense(self.dim_h, dtype=self.dtype, name="ff_linear4")(v).astype(jnp.float32))
 
         h = h + ff_node(h)
         h = GroupNormChannels(self.dim_h, name="norm2_node")(h) * node_mask
@@ -140,10 +155,17 @@ class CDGS(nn.Module):
     spectra_version: str = "ir"
     patch_len: tuple = (20, 50, 50)
     stride: tuple = (10, 25, 25)
+    dtype: jnp.dtype = jnp.float32
 
     @staticmethod
     def from_config(config):
+        dtype = (
+            jnp.bfloat16
+            if config.training.get("matmul_precision", "") == "bfloat16"
+            else jnp.float32
+        )
         return CDGS(
+            dtype=dtype,
             atom_ch=config.data.atom_types,
             nf=config.model.nf,
             n_layers=config.model.n_layers,
@@ -217,12 +239,18 @@ class CDGS(nn.Module):
         bond_se_ch = int(self.nf * 0.4)
         bond_type_ch = int(0.5 * (self.nf - bond_se_ch))
         adj_mask = edge_mask[..., None]
-        dense_cate = nn.Dense(bond_type_ch, name="proj_cate")(edge_cate) * adj_mask
-        dense_exist = nn.Dense(bond_type_ch, name="proj_exist")(edge_exist) * adj_mask
-        dense_spd = nn.Dense(bond_se_ch, name="proj_spd")(spd_onehot) * adj_mask
-        dense_edge = nn.Dense(self.nf, name="proj_edge")(
+        dense_cate = nn.Dense(
+            bond_type_ch, dtype=self.dtype, name="proj_cate"
+        )(edge_cate.astype(self.dtype)) * adj_mask
+        dense_exist = nn.Dense(
+            bond_type_ch, dtype=self.dtype, name="proj_exist"
+        )(edge_exist.astype(self.dtype)) * adj_mask
+        dense_spd = nn.Dense(
+            bond_se_ch, dtype=self.dtype, name="proj_spd"
+        )(spd_onehot.astype(self.dtype)) * adj_mask
+        dense_edge = nn.Dense(self.nf, dtype=self.dtype, name="proj_edge")(
             jnp.concatenate([dense_cate, dense_exist, dense_spd], axis=-1)
-        ) * adj_mask
+        ).astype(jnp.float32) * adj_mask
 
         atom_se_ch = int(self.nf * 0.2)
         atom_type_ch = self.nf - 2 * atom_se_ch
@@ -240,7 +268,8 @@ class CDGS(nn.Module):
         h_dense_edge = dense_edge
         for i in range(self.n_layers):
             h_atom, h_dense_edge = HybridMPBlock(
-                self.nf, self.n_heads, dropout=self.dropout, name=f"block_{i}"
+                self.nf, self.n_heads, dropout=self.dropout, dtype=self.dtype,
+                name=f"block_{i}",
             )(
                 h_atom, h_dense_edge, adj, node_mask, edge_mask, temb,
                 deterministic=deterministic,

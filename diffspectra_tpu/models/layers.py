@@ -228,30 +228,34 @@ class DenseEdgeGateTransLayer(nn.Module):
     out_channels: int
     heads: int = 1
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, edge_attr, edge_mask, deterministic=True):
         H, C = self.heads, self.out_channels
         B, N, _ = x.shape
-        query = nn.Dense(H * C, name="lin_query")(x).reshape(B, N, H, C)
-        key = nn.Dense(H * C, name="lin_key")(x).reshape(B, N, H, C)
-        value = nn.Dense(H * C, name="lin_value")(x).reshape(B, N, H, C)
+        x = x.astype(self.dtype)
+        edge_attr = edge_attr.astype(self.dtype)
+        dense = lambda f, name, bias=True: nn.Dense(
+            f, use_bias=bias, dtype=self.dtype, name=name
+        )
+        query = dense(H * C, "lin_query")(x).reshape(B, N, H, C)
+        key = dense(H * C, "lin_key")(x).reshape(B, N, H, C)
+        value = dense(H * C, "lin_value")(x).reshape(B, N, H, C)
         e0 = jnp.tanh(
-            nn.Dense(H * C, use_bias=False, name="lin_edge0")(edge_attr).reshape(
-                B, N, N, H, C
-            )
+            dense(H * C, "lin_edge0", bias=False)(edge_attr).reshape(B, N, N, H, C)
         )
         e1 = jnp.tanh(
-            nn.Dense(H * C, use_bias=False, name="lin_edge1")(edge_attr).reshape(
-                B, N, N, H, C
-            )
+            dense(H * C, "lin_edge1", bias=False)(edge_attr).reshape(B, N, N, H, C)
         )
-        alpha = jnp.einsum("bihc,bjhc,bijhc->bijh", query, key, e0) / math.sqrt(C)
+        alpha = jnp.einsum("bihc,bjhc,bijhc->bijh", query, key, e0)
+        # f32 softmax (mixed-precision recipe: logits/softmax stay f32)
+        alpha = alpha.astype(jnp.float32) / math.sqrt(C)
         alpha = jnp.where(edge_mask[..., None] > 0, alpha, MASK_INF)
-        alpha = jax.nn.softmax(alpha, axis=2)
+        alpha = jax.nn.softmax(alpha, axis=2).astype(self.dtype)
         alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
         out = jnp.einsum("bjhc,bijhc,bijh->bihc", value, e1, alpha)
-        return out.reshape(B, N, H * C)
+        return out.reshape(B, N, H * C).astype(jnp.float32)
 
 
 def sinusoidal_timestep_embedding(timesteps, embedding_dim: int, max_positions=10000):
