@@ -42,6 +42,11 @@ def get_config():
     # synthetic fallback when no QM9S download is present (tests/benches)
     data.synthetic = False
     data.synthetic_size = 4096
+    # device-resident dataset (single-device train fast path): upload the
+    # split to HBM once, assemble batches on device — per-step host traffic
+    # becomes the index vector (see data/device_store.py)
+    data.device_resident = True
+    data.device_store_max_bytes = 6_000_000_000
 
     # SDE
     config.sde = sde = ml_collections.ConfigDict()

@@ -19,6 +19,7 @@ import numpy as np
 
 from . import checkpoint as ckpt_lib
 from . import visualize
+from .data import device_store
 from .data import get_dataset, get_batch_iterator, inf_iterator
 from .data.pipeline import prefetch
 from .data.pipeline import augment_positions
@@ -212,6 +213,56 @@ def diffspectra_train(config, config_original_qm9, workdir):
             config.data.aug_translation_scale,
         )
 
+    # Device-resident dataset fast path (single-device): the whole split
+    # lives in HBM and batch assembly happens inside the jitted step, so the
+    # per-step host->device traffic is the [B] index vector instead of the
+    # ~3MB collated batch (see data/device_store.py for the trade-offs).
+    use_device_store = (
+        not use_mesh
+        and config.data.get("device_resident", True)
+        and device_store.estimate_bytes(second_train_ds, spectra_version)
+        <= config.data.get("device_store_max_bytes", 6_000_000_000)
+    )
+    if use_device_store:
+        store = device_store.DeviceStore(second_train_ds, spectra_version)
+        store_arrays = store.arrays()
+        base_step = get_step_fn(noise_scheduler, model, tx, scaler, config)
+        atom_types = config.data.atom_types
+        include_aromatic = config.data.include_aromatic
+        aug_scale = config.data.aug_translation_scale
+        spectra_keys = tuple(store.spectra_keys)
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames="n_pad")
+        def store_step(state, arrays, idx, rng, n_pad=0):
+            k_aug, k_step = jax.random.split(rng)
+            batch = device_store.build_batch(
+                arrays, idx, atom_types=atom_types,
+                include_aromatic=include_aromatic, spectra_keys=spectra_keys,
+                n_pad=n_pad,
+            )
+            batch["positions"] = augment_positions(
+                k_aug, batch["positions"], batch["atom_mask"],
+                aug_rot, aug_trans, aug_scale,
+            )
+            return base_step(state, batch, k_step)
+
+        store_num_atom = second_train_ds.arrays["num_atom"][second_train_ds.indices]
+
+        def make_idx_iter(epoch):
+            return device_store.index_iterator(
+                len(second_train_ds), batch_size, shuffle=True,
+                seed=config.seed + epoch, drop_last=True,
+                bucket_sizes=bucket_sizes, num_atom=store_num_atom,
+            )
+
+        idx_iter = inf_iterator(make_idx_iter)
+        logging.info(
+            "device-resident dataset: %.0f MB in HBM",
+            device_store.estimate_bytes(second_train_ds, spectra_version) / 2**20,
+        )
+
     if config.training.snapshot_sampling:
         snapshot_sampling_fn = make_cond_sampling_fn(
             config, _inference_model(config), noise_scheduler,
@@ -235,15 +286,22 @@ def diffspectra_train(config, config_original_qm9, workdir):
             jax.profiler.start_trace(os.path.join(workdir, "profile"))
         if profile and step == initial_step + 15:
             jax.profiler.stop_trace()
-        batch = next(train_iter)
-        rng, k_aug, k_step = jax.random.split(rng, 3)
-        batch = {k: v for k, v in batch.items() if k != "num_atom"}
-        batch["positions"] = augment(
-            k_aug, jnp.asarray(batch["positions"]), jnp.asarray(batch["atom_mask"])
-        )
-        if use_mesh:
-            batch = shard_batch(mesh, batch)
-        state, loss = step_fn(state, batch, k_step)
+        rng, k_step = jax.random.split(rng)
+        if use_device_store:
+            n_pad, idx = next(idx_iter)
+            state, loss = store_step(
+                state, store_arrays, jnp.asarray(idx), k_step, n_pad=n_pad
+            )
+        else:
+            batch = next(train_iter)
+            rng, k_aug = jax.random.split(rng)
+            batch = {k: v for k, v in batch.items() if k != "num_atom"}
+            batch["positions"] = augment(
+                k_aug, jnp.asarray(batch["positions"]), jnp.asarray(batch["atom_mask"])
+            )
+            if use_mesh:
+                batch = shard_batch(mesh, batch)
+            state, loss = step_fn(state, batch, k_step)
 
         if step % log_freq == 0:
             loss_val = float(loss)
@@ -460,7 +518,7 @@ run_eval_dict = {"diffspectra": diffspectra_evaluate}
 
 
 def train(config, config_original_qm9, workdir):
-    run_train_dict[config.exp_type](config, config_original_qm9, workdir)
+    return run_train_dict[config.exp_type](config, config_original_qm9, workdir)
 
 
 def evaluate(config, config_original_qm9, workdir, eval_folder="eval"):
