@@ -70,11 +70,19 @@ def make_cond_sampling_fn(
     steps = config.sampling.steps
     if sampling_temperature is None:
         sampling_temperature = 1.0
-    if config.sampling.method != "ancestral":
+    if config.sampling.method == "ancestral":
+        sampler_cls = AncestralSampler
+    elif config.sampling.method == "dpm_solver":
+        # DPM-Solver++(2M): deterministic fast solver, 10-20x fewer steps
+        # (TPU-native addition — see sampling/dpm_solver.py)
+        from .dpm_solver import DPMSolverPP
+
+        sampler_cls = DPMSolverPP
+    else:
         raise ValueError("Invalid sampling method!")
 
     time_steps = make_time_steps(noise_scheduler, steps, eps)
-    sampler = AncestralSampler(
+    sampler = sampler_cls(
         noise_scheduler,
         time_steps,
         config.model.pred_data,
