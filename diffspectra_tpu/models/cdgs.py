@@ -201,7 +201,8 @@ class CDGS(nn.Module):
         elif context is not None:
             ctx = SpecFormer(
                 patch_len=self.patch_len, stride=self.stride, output_dim=self.nf,
-                spectra_version=self.spectra_version, name="cond_encoder",
+                spectra_version=self.spectra_version,
+                name="cond_encoder",
             )(context, deterministic=deterministic)
             ctx = nn.Dense(self.nf, name="cond_lin")(ctx)
         else:

@@ -449,6 +449,10 @@ class DMT(nn.Module):
                 stride=self.stride,
                 output_dim=self.hidden_dim,
                 spectra_version=self.spectra_version,
+                # NB: SpecFormer supports a bf16 compute path (dtype attr)
+                # but threading it here SEGVs this environment's remote TPU
+                # compiler on the train graph; ~8% step win deferred
+                # (ROADMAP item 5).
                 name="cond_encoder",
             )(context, deterministic=deterministic)
             ctx = nn.Dense(time_dim, name="cond_lin")(ctx)

@@ -55,23 +55,30 @@ class _MultiheadAttention(nn.Module):
     attn_dropout: float = 0.0
     proj_dropout: float = 0.0
     res_attention: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, prev=None, deterministic=True):
         B, L, _ = x.shape
         H = self.n_heads
         dk = self.d_model // H
-        q = nn.Dense(H * dk, name="W_Q")(x).reshape(B, L, H, dk)
-        k = nn.Dense(H * dk, name="W_K")(x).reshape(B, L, H, dk)
-        v = nn.Dense(H * dk, name="W_V")(x).reshape(B, L, H, dk)
+        x = x.astype(self.dtype)
+        q = nn.Dense(H * dk, dtype=self.dtype, name="W_Q")(x).reshape(B, L, H, dk)
+        k = nn.Dense(H * dk, dtype=self.dtype, name="W_K")(x).reshape(B, L, H, dk)
+        v = nn.Dense(H * dk, dtype=self.dtype, name="W_V")(x).reshape(B, L, H, dk)
         # the reference's scale is a frozen parameter head_dim**-0.5 (ref :382)
-        scores = jnp.einsum("bihd,bjhd->bhij", q, k) * (dk**-0.5)
+        # f32 logits/softmax (mixed-precision recipe); residual scores carry
+        # between layers in f32
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k).astype(jnp.float32) * (
+            dk**-0.5
+        )
         if prev is not None:
             scores = scores + prev
-        attn = nn.softmax(scores, axis=-1)
+        attn = nn.softmax(scores, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.attn_dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, L, H * dk)
-        out = nn.Dense(self.d_model, name="to_out")(out)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="to_out")(out)
+        out = out.astype(jnp.float32)
         out = nn.Dropout(self.proj_dropout)(out, deterministic=deterministic)
         if self.res_attention:
             return out, scores
@@ -87,6 +94,7 @@ class TSTEncoderLayer(nn.Module):
     dropout: float = 0.0
     attn_dropout: float = 0.0
     res_attention: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, prev=None, deterministic=True):
@@ -96,6 +104,7 @@ class TSTEncoderLayer(nn.Module):
             attn_dropout=self.attn_dropout,
             proj_dropout=self.dropout,
             res_attention=self.res_attention,
+            dtype=self.dtype,
             name="self_attn",
         )(src, prev=prev, deterministic=deterministic)
         if self.res_attention:
@@ -109,10 +118,12 @@ class TSTEncoderLayer(nn.Module):
             use_running_average=deterministic, momentum=0.9, name="norm_attn"
         )(src)
 
-        ff = nn.Dense(self.d_ff, name="ff1")(src)
+        ff = nn.Dense(self.d_ff, dtype=self.dtype, name="ff1")(src.astype(self.dtype))
         ff = nn.gelu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        ff = nn.Dense(self.d_model, name="ff2")(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="ff2")(ff).astype(
+            jnp.float32
+        )
         src = src + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         src = nn.BatchNorm(
             use_running_average=deterministic, momentum=0.9, name="norm_ffn"
@@ -141,6 +152,8 @@ class SpecFormer(nn.Module):
     dropout: float = 0.0
     attn_dropout: float = 0.0
     res_attention: bool = True
+    # bf16 matmul compute path (params/BatchNorm/softmax stay f32)
+    dtype: jnp.dtype = jnp.float32
 
     def normalize_context(self, context):
         """Accept [B,L], [B,1,L], or tuples thereof; return tuple of [B,L]."""
@@ -186,7 +199,9 @@ class SpecFormer(nn.Module):
                 patches = jnp.where(
                     patch_masks[slot][..., None] > 0, 0.0, patches
                 )
-            z = nn.Dense(self.d_model, name=f"W_P_{i}")(patches)
+            z = nn.Dense(self.d_model, dtype=self.dtype, name=f"W_P_{i}")(
+                patches.astype(self.dtype)
+            ).astype(jnp.float32)
             n_patches = patches.shape[1]
             # learned positional embedding, init U(-0.02, 0.02)
             # (ref specformer_layers.py:105-107)
@@ -212,6 +227,7 @@ class SpecFormer(nn.Module):
                 dropout=self.dropout,
                 attn_dropout=self.attn_dropout,
                 res_attention=self.res_attention,
+                dtype=self.dtype,
                 name=f"encoder_layer_{li}",
             )
             if self.res_attention:
