@@ -17,3 +17,11 @@ python -m diffspectra_tpu.main --config $CFG \
     --workdir exp/allspectra_pretrained_specformer --mode eval \
     --config.data.spectra_version allspectra \
     --config.model.pretrained_specformer_path exp/pretrained_specformer.ckpt
+
+# Fast-eval profile (TPU-native addition): DPM-Solver++(2M) at 50 steps
+# instead of 1000-step ancestral — 10x fewer model calls, 2D quality at
+# parity, mild 3D degradation (see RESULTS.md).
+python -m diffspectra_tpu.main --config $CFG --workdir exp/ir --mode eval \
+    --config.data.spectra_version ir \
+    --config.sampling.method dpm_solver --config.sampling.steps 100 \
+    --eval_folder eval_fast

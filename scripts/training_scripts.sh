@@ -28,3 +28,8 @@ python -m diffspectra_tpu.main --config $CFG \
     --workdir exp/allspectra_pretrained_specformer --mode train \
     --config.data.spectra_version allspectra \
     --config.model.pretrained_specformer_path exp/pretrained_specformer.ckpt
+
+# SpecFormer masked-patch pretraining (TPU-native addition; produces the
+# checkpoint the allspectra_pretrained recipe consumes)
+python -m diffspectra_tpu.main --config $CFG --workdir exp/pretrain_specformer \
+    --mode pretrain --config.data.spectra_version allspectra
