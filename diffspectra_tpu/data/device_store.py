@@ -25,11 +25,12 @@ v5e HBM next to the ~10M-param model; ``estimate_bytes`` guards the opt-in
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..utils import masks as M
 from .pipeline import SPECTRA_KEYS, ArrayDataset
@@ -51,9 +52,24 @@ class DeviceStore:
     ``arrays()`` returns the device pytree; pass it as an ARGUMENT to the
     jitted step (already device-resident, so there is no per-call transfer;
     closing over it would embed the dataset in the executable instead).
+
+    With ``mesh`` set, rows are sharded over the mesh's data axis (axis 0 of
+    every array): each chip holds ``len(ds)/n_dev`` rows of the split and
+    per-chip batches are assembled from the LOCAL shard inside ``shard_map``
+    (indices are shard-local — see ``sharded_index_iterator``). Rows are
+    wrap-padded to a multiple of the device count so shards are equal-sized
+    (static shapes). Shard-local shuffling means a given sample is always
+    consumed by the same chip — the standard per-host-shard regime for DP
+    input pipelines; gradients mix everything via the psum all-reduce.
     """
 
-    def __init__(self, ds: ArrayDataset, spectra_version: str):
+    def __init__(
+        self,
+        ds: ArrayDataset,
+        spectra_version: str,
+        mesh: Optional[Mesh] = None,
+        axis_name: str = "data",
+    ):
         rows = ds.take(np.arange(len(ds)))
         self.spectra_keys = SPECTRA_KEYS[spectra_version]
         self.max_n = rows["atom_type"].shape[1]
@@ -66,7 +82,20 @@ class DeviceStore:
         }
         for k in self.spectra_keys:
             store[k] = rows[k].astype(np.float32)  # already log-normalised
-        self._arrays = jax.device_put(store)
+        self.n_dev = 1 if mesh is None else int(mesh.devices.size)
+        m = store["num_atom"].shape[0]
+        pad = (-m) % self.n_dev
+        if pad:
+            store = {
+                k: np.concatenate([v, v[:pad]], axis=0) for k, v in store.items()
+            }
+        self.shard_size = (m + pad) // self.n_dev
+        if mesh is None:
+            self._arrays = jax.device_put(store)
+        else:
+            self._arrays = jax.device_put(
+                store, NamedSharding(mesh, P(axis_name))
+            )
 
     def __len__(self):
         return int(self._arrays["num_atom"].shape[0])
@@ -161,3 +190,30 @@ def index_iterator(
     rng.shuffle(batches)
     for bsize, rows in batches:
         yield bsize, rows.astype(np.int32)
+
+
+def sharded_index_iterator(
+    shard_size: int,
+    n_dev: int,
+    per_dev_batch: int,
+    shuffle: bool = True,
+    seed: int = 0,
+):
+    """Epoch iterator over a mesh-sharded ``DeviceStore``.
+
+    Yields ``idx`` of shape ``[n_dev * per_dev_batch]`` (int32) whose d-th
+    contiguous block holds SHARD-LOCAL row offsets for device d — exactly
+    the layout ``shard_map`` with ``P('data')`` splits back into per-chip
+    ``[per_dev_batch]`` vectors. Each shard is permuted independently per
+    epoch; trailing rows that don't fill a per-chip batch are dropped
+    (drop_last semantics, matching the host pipeline default).
+    """
+    rng = np.random.default_rng(seed)
+    orders = [
+        rng.permutation(shard_size) if shuffle else np.arange(shard_size)
+        for _ in range(n_dev)
+    ]
+    for start in range(0, shard_size - shard_size % per_dev_batch, per_dev_batch):
+        yield np.concatenate(
+            [o[start : start + per_dev_batch] for o in orders]
+        ).astype(np.int32)

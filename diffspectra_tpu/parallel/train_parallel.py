@@ -27,26 +27,22 @@ def make_parallel_train_step(step_fn, mesh: Mesh, axis_name: str = "data"):
     return jax.jit(sharded)
 
 
-def make_parallel_sample_fn(sample_fn, mesh: Mesh, axis_name: str = "data"):
-    """Shard a pure sampling function ``(rng, *batch_arrays) -> outputs`` over
-    the mesh batch axis; each chip runs its reverse-diffusion shard with a
-    decorrelated key."""
+def make_parallel_store_step(store_step, mesh: Mesh, axis_name: str = "data"):
+    """shard_map wrapper for the device-store train step: state replicated,
+    store arrays AND the index vector sharded on the data axis, so each chip
+    assembles its batch from its LOCAL dataset shard with shard-local
+    indices (see data/device_store.py::sharded_index_iterator). Per-step
+    host->device traffic is one [n_dev * per_dev_batch] int32 vector."""
+    sharded = shard_map(
+        store_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
-    def wrapped(rng, *args):
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        return sample_fn(rng, *args)
 
-    n_in = None  # determined by call site; shard all array args on axis 0
-
-    def call(rng, *args):
-        specs_in = (P(),) + tuple(P(axis_name) for _ in args)
-        sharded = shard_map(
-            wrapped,
-            mesh=mesh,
-            in_specs=specs_in,
-            out_specs=P(axis_name),
-            check_vma=False,
-        )
-        return jax.jit(sharded)(rng, *args)
-
-    return call
+# Sampling fan-out over the mesh lives in sampling/harness.py
+# (make_cond_sampling_fn(mesh=...)): per-chip reverse-diffusion shards with
+# decorrelated keys, parameters replicated, results gathered on host.

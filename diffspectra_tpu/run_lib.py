@@ -27,7 +27,13 @@ from .diffusion import NoiseScheduleVP
 from .evaluation import get_2D_edm_metric, get_edm_metric
 from .evaluation.molgraph import from_decoded
 from .models import ema as ema_lib
-from .parallel import create_mesh, make_parallel_train_step, replicate, shard_batch
+from .parallel import (
+    create_mesh,
+    make_parallel_store_step,
+    make_parallel_train_step,
+    replicate,
+    shard_batch,
+)
 from .sampling.harness import make_cond_sampling_fn
 from .training import optim as optim_lib
 from .training.step import get_step_fn
@@ -196,10 +202,8 @@ def diffspectra_train(config, config_original_qm9, workdir):
     n_dev = mesh.devices.size
     use_mesh = n_dev > 1
     if use_mesh:
-        step_fn = make_parallel_train_step(
-            get_step_fn(noise_scheduler, model, tx, scaler, config, True, "data"),
-            mesh,
-        )
+        axis_step = get_step_fn(noise_scheduler, model, tx, scaler, config, True, "data")
+        step_fn = make_parallel_train_step(axis_step, mesh)
         state = replicate(mesh, state)
     else:
         step_fn = jax.jit(get_step_fn(noise_scheduler, model, tx, scaler, config))
@@ -213,20 +217,27 @@ def diffspectra_train(config, config_original_qm9, workdir):
             config.data.aug_translation_scale,
         )
 
-    # Device-resident dataset fast path (single-device): the whole split
-    # lives in HBM and batch assembly happens inside the jitted step, so the
-    # per-step host->device traffic is the [B] index vector instead of the
-    # ~3MB collated batch (see data/device_store.py for the trade-offs).
+    # Device-resident dataset fast path: the whole split lives in HBM and
+    # batch assembly happens inside the jitted step, so the per-step
+    # host->device traffic is the [B] index vector instead of the ~3MB
+    # collated batch (see data/device_store.py for the trade-offs). Under a
+    # mesh, rows are sharded over the data axis — each chip holds 1/n_dev of
+    # the split and assembles its batch from the local shard inside
+    # shard_map (shard-local shuffling). Bucketed padding and multi-host
+    # stay on the host pipeline (buckets need a global n_pad per step;
+    # multi-host needs per-process shard uploads — ROADMAP).
+    store_bytes = device_store.estimate_bytes(second_train_ds, spectra_version)
     use_device_store = (
-        not use_mesh
-        and config.data.get("device_resident", True)
-        and device_store.estimate_bytes(second_train_ds, spectra_version)
+        config.data.get("device_resident", True)
+        and store_bytes // n_dev
         <= config.data.get("device_store_max_bytes", 6_000_000_000)
+        and not (use_mesh and (bucket_sizes or jax.process_count() > 1))
     )
     if use_device_store:
-        store = device_store.DeviceStore(second_train_ds, spectra_version)
+        store = device_store.DeviceStore(
+            second_train_ds, spectra_version, mesh=mesh if use_mesh else None
+        )
         store_arrays = store.arrays()
-        base_step = get_step_fn(noise_scheduler, model, tx, scaler, config)
         atom_types = config.data.atom_types
         include_aromatic = config.data.include_aromatic
         aug_scale = config.data.aug_translation_scale
@@ -234,9 +245,7 @@ def diffspectra_train(config, config_original_qm9, workdir):
 
         from functools import partial
 
-        @partial(jax.jit, static_argnames="n_pad")
-        def store_step(state, arrays, idx, rng, n_pad=0):
-            k_aug, k_step = jax.random.split(rng)
+        def _assemble(arrays, idx, k_aug, n_pad=0):
             batch = device_store.build_batch(
                 arrays, idx, atom_types=atom_types,
                 include_aromatic=include_aromatic, spectra_keys=spectra_keys,
@@ -246,21 +255,48 @@ def diffspectra_train(config, config_original_qm9, workdir):
                 k_aug, batch["positions"], batch["atom_mask"],
                 aug_rot, aug_trans, aug_scale,
             )
-            return base_step(state, batch, k_step)
+            return batch
 
-        store_num_atom = second_train_ds.arrays["num_atom"][second_train_ds.indices]
+        if use_mesh:
+            def store_step_body(state, arrays, idx, rng):
+                k_aug, k_step = jax.random.split(rng)
+                k_aug = jax.random.fold_in(k_aug, jax.lax.axis_index("data"))
+                return axis_step(state, _assemble(arrays, idx, k_aug), k_step)
 
-        def make_idx_iter(epoch):
-            return device_store.index_iterator(
-                len(second_train_ds), batch_size, shuffle=True,
-                seed=config.seed + epoch, drop_last=True,
-                bucket_sizes=bucket_sizes, num_atom=store_num_atom,
-            )
+            store_pstep = make_parallel_store_step(store_step_body, mesh)
+
+            def store_step(state, arrays, idx, rng, n_pad=0):
+                return store_pstep(state, arrays, idx, rng)
+
+            def make_idx_iter(epoch):
+                return (
+                    (0, idx)
+                    for idx in device_store.sharded_index_iterator(
+                        store.shard_size, n_dev, batch_size // n_dev,
+                        shuffle=True, seed=config.seed + epoch,
+                    )
+                )
+        else:
+            @partial(jax.jit, static_argnames="n_pad")
+            def store_step(state, arrays, idx, rng, n_pad=0):
+                k_aug, k_step = jax.random.split(rng)
+                base_step = get_step_fn(noise_scheduler, model, tx, scaler, config)
+                return base_step(state, _assemble(arrays, idx, k_aug, n_pad), k_step)
+
+            store_num_atom = second_train_ds.arrays["num_atom"][second_train_ds.indices]
+
+            def make_idx_iter(epoch):
+                return device_store.index_iterator(
+                    len(second_train_ds), batch_size, shuffle=True,
+                    seed=config.seed + epoch, drop_last=True,
+                    bucket_sizes=bucket_sizes, num_atom=store_num_atom,
+                )
 
         idx_iter = inf_iterator(make_idx_iter)
         logging.info(
-            "device-resident dataset: %.0f MB in HBM",
-            device_store.estimate_bytes(second_train_ds, spectra_version) / 2**20,
+            "device-resident dataset: %.0f MB in HBM%s",
+            store_bytes / 2**20,
+            f" ({n_dev}-way row-sharded)" if use_mesh else "",
         )
 
     if config.training.snapshot_sampling:
@@ -268,6 +304,7 @@ def diffspectra_train(config, config_original_qm9, workdir):
             config, _inference_model(config), noise_scheduler,
             config.training.eval_batch_size,
             config.training.eval_samples, inverse_scaler, val_ds, fixed_seed=None,
+            mesh=mesh if use_mesh else None,
         )
         edm_metric = get_edm_metric(dataset_info)
         edm_metric_2d = get_2D_edm_metric(dataset_info)
@@ -393,10 +430,14 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
     else:
         ckpts = list(range(config.eval.begin_ckpt, config.eval.end_ckpt + 1))
 
+    # fan the sweep out over the mesh when more than one chip is visible
+    # (SURVEY §2.12: per-chip reverse-diffusion shards, host gather)
+    eval_mesh = create_mesh(config.training.num_devices)
     sampling_fn = make_cond_sampling_fn(
         config, _inference_model(config), noise_scheduler, config.eval.batch_size,
         config.eval.num_samples, inverse_scaler, test_ds, fixed_seed=42,
         sampling_temperature=config.eval.sampling_temperature,
+        mesh=eval_mesh if eval_mesh.devices.size > 1 else None,
     )
 
     atom_decoder = dataset_info["atom_decoder"]

@@ -50,12 +50,18 @@ def make_cond_sampling_fn(
     eps: float = 1e-3,
     fixed_seed: Optional[int] = 42,
     sampling_temperature: Optional[float] = None,
+    mesh=None,
 ):
     """Returns ``sampling_fn(variables, rng) -> (pred_mols, gt_pos, gt_mols)``.
 
     ``fixed_seed=42`` reproduces the eval harness (ref sampling.py:387);
     pass ``None`` for the training-snapshot variant (fresh permutation per
     call, ref sampling.py:180).
+
+    ``mesh``: fan the sweep out over a data mesh (SURVEY §2.12) — parameters
+    replicated, each chip runs the reverse-diffusion scan on its
+    ``batch_size / n_dev`` shard of the round with a decorrelated key;
+    results gather on host. ``batch_size`` stays the GLOBAL round size.
     """
     atom_types = config.data.atom_types
     include_fc = bool(config.model.include_fc_charge)
@@ -96,19 +102,20 @@ def make_cond_sampling_fn(
     bucket_sizes = tuple(sorted(config.eval.get("bucket_sizes", ()))) or (max_n,)
 
     def _round(variables, rng, context, n_nodes, n_pad):
-        """One jitted sampling round for a fixed (batch_size, n_pad)."""
+        """One jitted sampling round for a fixed (local batch, n_pad)."""
+        bs = n_nodes.shape[0]  # per-chip size under the mesh, else batch_size
         node_mask, edge_mask = M.build_masks(n_nodes, n_pad)
         k_z, k_e, k_s = jax.random.split(rng, 3)
         if only_2d:
             z = M.sample_gaussian_with_mask(
-                k_z, (batch_size, n_pad, node_nf), node_mask
+                k_z, (bs, n_pad, node_nf), node_mask
             )
         else:
             z = M.sample_combined_position_feature_noise(
-                k_z, batch_size, n_pad, node_nf, node_mask
+                k_z, bs, n_pad, node_nf, node_mask
             )
         edge_z = M.sample_symmetric_edge_feature_noise(
-            k_e, batch_size, n_pad, edge_nf, edge_mask
+            k_e, bs, n_pad, edge_nf, edge_mask
         )
 
         ctx_emb = encode_context(model, variables, context)
@@ -128,7 +135,40 @@ def make_cond_sampling_fn(
             x_edge, edge_mask, compress_edge, has_positions=not only_2d,
         )
 
-    round_jit = jax.jit(_round, static_argnames=("n_pad",))
+    n_shards = 1 if mesh is None else int(mesh.devices.size)
+    if n_shards > 1:
+        assert batch_size % n_shards == 0, (
+            f"eval batch {batch_size} must divide over {n_shards} chips"
+        )
+        from functools import partial
+
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _round_shard(variables, rng, context, n_nodes, *, n_pad):
+            # decorrelate per-chip noise draws
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            return _round(variables, rng, context, n_nodes, n_pad)
+
+        _per_pad = {}
+
+        def round_jit(variables, rng, context, n_nodes, n_pad):
+            if n_pad not in _per_pad:
+                _per_pad[n_pad] = jax.jit(
+                    shard_map(
+                        partial(_round_shard, n_pad=n_pad),
+                        mesh=mesh,
+                        in_specs=(P(), P(), P("data"), P("data")),
+                        out_specs=P("data"),
+                        check_vma=False,
+                    )
+                )
+            return _per_pad[n_pad](variables, rng, context, n_nodes)
+
+        _replicated = NamedSharding(mesh, P())
+    else:
+        round_jit = jax.jit(_round, static_argnames=("n_pad",))
+        _replicated = None
 
     def sampling_fn(variables, rng):
         # Upload parameters ONCE for the whole sweep. Callers hand over host
@@ -136,7 +176,8 @@ def make_cond_sampling_fn(
         # re-transfers the full parameter tree host->device — measured at
         # ~3.5s/round through this environment's tunneled TPU link, which
         # dwarfed the actual 1000-step scan (8.2s at N=29, batch 128).
-        variables = jax.device_put(variables)
+        # Under a mesh the upload replicates across chips.
+        variables = jax.device_put(variables, _replicated)
         n = len(ds)
         if fixed_seed is not None:
             perm = np.random.default_rng(fixed_seed).permutation(n)

@@ -84,3 +84,93 @@ def test_device_store_train_smoke(tmp_path):
     state = run_lib.train(cfg, None, str(tmp_path / "wd"))
     # loop is inclusive of n_iters (ref run_lib.py:237 semantics)
     assert int(state.step) == cfg.training.n_iters + 1
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded device store (per-shard HBM-resident split, ROADMAP item 6)
+# ---------------------------------------------------------------------------
+
+from jax.sharding import PartitionSpec as P  # noqa: E402
+from jax import shard_map  # noqa: E402
+
+from diffspectra_tpu.data.device_store import sharded_index_iterator  # noqa: E402
+from diffspectra_tpu.parallel import create_mesh  # noqa: E402
+
+
+def test_sharded_store_build_batch_matches_unsharded():
+    """Each chip assembling from its LOCAL shard with shard-local indices
+    must reproduce build_batch on the unsharded store at the corresponding
+    global rows (incl. the wrap-padding row mapping)."""
+    cfg = smoke.get_config()
+    _, ds, _, _, _ = get_dataset(cfg)
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    store_s = DeviceStore(ds, "ir", mesh=mesh)
+    store_u = DeviceStore(ds, "ir")
+    shard = store_s.shard_size
+    per_dev = 2
+
+    rng = np.random.default_rng(0)
+    local = rng.integers(0, shard, size=(n_dev, per_dev)).astype(np.int32)
+    idx = local.reshape(-1)
+
+    kw = dict(
+        atom_types=cfg.data.atom_types,
+        include_aromatic=cfg.data.include_aromatic,
+        spectra_keys=("ir",),
+    )
+
+    def assemble(arrays, i):
+        return build_batch(arrays, i, **kw)
+
+    out = jax.jit(
+        shard_map(
+            assemble, mesh=mesh,
+            in_specs=(P("data"), P("data")), out_specs=P("data"),
+            check_vma=False,
+        )
+    )(store_s.arrays(), jnp.asarray(idx))
+
+    # wrap-padded global row for (device d, local i)
+    m = len(ds)
+    padded = np.concatenate([np.arange(m), np.arange(n_dev * shard - m)])
+    global_rows = np.stack(
+        [padded[d * shard + local[d]] for d in range(n_dev)]
+    ).reshape(-1)
+    ref = build_batch(store_u.arrays(), jnp.asarray(global_rows), **kw)
+    for k in ("atom_one_hot", "edge_one_hot", "positions", "formal_charges",
+              "atom_mask", "edge_mask", "context"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), atol=1e-6, err_msg=k
+        )
+
+
+def test_sharded_index_iterator_covers_each_shard():
+    it = sharded_index_iterator(10, 4, 3, shuffle=True, seed=1)
+    batches = list(it)
+    assert len(batches) == 3  # 10 // 3
+    stacked = np.stack(batches)  # [n_batches, n_dev*per_dev]
+    assert stacked.min() >= 0 and stacked.max() < 10
+    # per device: no repeats within an epoch
+    for d in range(4):
+        seen = stacked[:, d * 3 : (d + 1) * 3].reshape(-1)
+        assert len(set(seen.tolist())) == len(seen)
+
+
+def test_device_store_train_runs_under_mesh(tmp_path):
+    """diffspectra_train on the mesh + sharded device-store path: 8 virtual
+    devices, global batch 16, three steps."""
+    from diffspectra_tpu import run_lib
+
+    cfg = smoke.get_config()
+    cfg.training.num_devices = 8
+    cfg.training.base_batch_size = 2
+    cfg.training.batch_size = 16
+    cfg.training.eval_batch_size = 16
+    cfg.training.n_iters = 3
+    cfg.training.log_freq = 1
+    cfg.training.snapshot_freq = 100
+    cfg.training.snapshot_freq_for_preemption = 100
+    cfg.training.snapshot_sampling = False
+    state = run_lib.train(cfg, None, str(tmp_path / "wd"))
+    assert int(state.step) == cfg.training.n_iters + 1

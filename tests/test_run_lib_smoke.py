@@ -101,3 +101,63 @@ def test_bucketed_sampling_harness(tmp_path):
         assert pred is not None
         # prediction size matches its ground truth molecule
         assert pred[1].shape[0] == gt[1].shape[0]
+
+
+def test_mesh_sampling_harness():
+    """Mesh fan-out of the sampling sweep (SURVEY §2.12): 8 virtual chips,
+    each running its batch shard; outputs pair with ground truth exactly as
+    the single-device harness does."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffspectra_tpu.data import get_dataset
+    from diffspectra_tpu.diffusion import NoiseScheduleVP
+    from diffspectra_tpu.models.dmt import DMT
+    from diffspectra_tpu.parallel import create_mesh
+    from diffspectra_tpu.sampling.harness import make_cond_sampling_fn
+    from diffspectra_tpu.utils import masks as M
+    from diffspectra_tpu.utils.scalers import get_data_inverse_scaler
+
+    cfg = smoke.get_config()
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.data.max_node = 16
+    cfg.data.synthetic_size = 64
+    cfg.sampling.steps = 4
+
+    _, _, _, test_ds, _ = get_dataset(cfg)
+    model = DMT.from_config(cfg)
+    sch = NoiseScheduleVP(cfg.sde.schedule)
+    inverse = get_data_inverse_scaler(cfg)
+
+    key = jax.random.PRNGKey(0)
+    n = cfg.data.max_node
+    bs = 16  # 2 per chip
+    node_mask, edge_mask = M.build_masks(jnp.full((bs,), n), n)
+    variables = model.init(
+        key, jnp.zeros((bs,)), jnp.zeros((bs, n, 9)), node_mask, edge_mask,
+        jnp.abs(jax.random.normal(key, (bs, 3501))),
+        edge_x=jnp.zeros((bs, n, n, 2)), noise_level=jnp.zeros((bs,)),
+    )
+
+    mesh = create_mesh()
+    fn = make_cond_sampling_fn(
+        cfg, model, sch, batch_size=bs, n_samples=24, inverse_scaler=inverse,
+        ds=test_ds, fixed_seed=42, mesh=mesh,
+    )
+    mols, gt_pos, gt_mols = fn(variables, jax.random.PRNGKey(1))
+    assert len(mols) == 24 and len(gt_mols) == 24
+    for pred, gt in zip(mols, gt_mols):
+        assert pred is not None
+        assert pred[1].shape[0] == gt[1].shape[0]
+
+    # ground-truth draws must match the single-device harness (same fixed
+    # permutation; only the noise fan-out differs)
+    fn1 = make_cond_sampling_fn(
+        cfg, model, sch, batch_size=bs, n_samples=24, inverse_scaler=inverse,
+        ds=test_ds, fixed_seed=42,
+    )
+    _, gt_pos1, _ = fn1(variables, jax.random.PRNGKey(1))
+    for a, b in zip(gt_pos, gt_pos1):
+        np.testing.assert_allclose(a, b)
