@@ -84,6 +84,9 @@ def get_config():
     # eval/sampling paths unroll fully (0 = n_layers) — see run_lib
     model.scan_unroll = 1
     model.scan_unroll_eval = 0
+    # block-scan backward remat policy: 'full' (recompute all, min memory)
+    # or 'dots' (save MXU outputs, recompute only elementwise)
+    model.remat_policy = "full"
     model.patch_len = [20, 50, 50]
     model.stride = [10, 25, 25]
     # loss

@@ -357,6 +357,11 @@ class DMT(nn.Module):
     # training default), n_layers = fully unrolled (fast inference — no
     # per-iteration weight slicing/layout copies). Checkpoint-compatible.
     scan_unroll: int = 1
+    # backward rematerialisation policy for the block scan:
+    # 'full' recomputes everything (minimum memory), 'dots' saves matmul/MXU
+    # outputs and recomputes only VPU elementwise work (faster backward,
+    # ~n_layers x the pair-grid dot activations resident). No param change.
+    remat_policy: str = "full"
 
     @staticmethod
     def from_config(config):
@@ -375,6 +380,7 @@ class DMT(nn.Module):
             dtype=dtype,
             use_pallas=bool(use_pallas),
             scan_unroll=int(config.model.get("scan_unroll", 1)),
+            remat_policy=str(config.model.get("remat_policy", "full")),
             in_node_dim=config.data.atom_types + int(config.model.include_fc_charge),
             hidden_dim=config.model.nf,
             edge_hidden_dim=config.model.nf // 4,
@@ -509,8 +515,13 @@ class DMT(nn.Module):
         # HBM and layout-converting carries every iteration; unrolling turns
         # those into static slices XLA folds away. Param tree is unchanged
         # (still stacked), so checkpoints are interchangeable across settings.
+        remat_policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if self.remat_policy == "dots"
+            else None  # 'full': recompute everything
+        )
         ScannedBlocks = nn.scan(
-            nn.remat(_BlockWithCollect, static_argnums=()),
+            nn.remat(_BlockWithCollect, static_argnums=(), policy=remat_policy),
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.n_layers,

@@ -291,6 +291,8 @@ class DMT_WO_EQ(nn.Module):
     # see models/dmt.py: 1 = rolled (training default), n_layers = fully
     # unrolled (fast inference). Checkpoint-compatible across settings.
     scan_unroll: int = 1
+    # block-scan backward remat policy ('full' | 'dots'), see models/dmt.py
+    remat_policy: str = "full"
 
     @staticmethod
     def from_config(config):
@@ -302,6 +304,7 @@ class DMT_WO_EQ(nn.Module):
         return DMT_WO_EQ(
             dtype=dtype,
             scan_unroll=int(config.model.get("scan_unroll", 1)),
+            remat_policy=str(config.model.get("remat_policy", "full")),
             in_node_dim=config.data.atom_types + int(config.model.include_fc_charge),
             hidden_dim=config.model.nf,
             edge_hidden_dim=config.model.nf // 4,
@@ -391,8 +394,13 @@ class DMT_WO_EQ(nn.Module):
 
         # nn.scan + nn.remat over the identical blocks (see models/dmt.py):
         # one compiled block, stacked params, rematerialised backward
+        remat_policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if self.remat_policy == "dots"
+            else None
+        )
         ScannedBlocks = nn.scan(
-            nn.remat(_WoEqBlockWithCollect),
+            nn.remat(_WoEqBlockWithCollect, policy=remat_policy),
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.n_layers,

@@ -21,15 +21,17 @@ def main():
     cfg = diffspectra_qm9s.get_config()
     cfg.data.spectra_version = "ir"
     cfg.data.synthetic = True
-    cfg.data.synthetic_size = 4096
+    # must match the trained checkpoint's dataset (tools/tpu_train_smoke.py
+    # uses 4096; tools/tpu_quality_run.py uses 32768)
+    cfg.data.synthetic_size = int(os.environ.get("QUALITY_DATA_SIZE", 4096))
     cfg.training.base_batch_size = 128
     cfg.training.batch_size = 128
     cfg.training.eval_batch_size = 128
     cfg.training.eval_samples = 128
     cfg.eval.batch_size = int(os.environ.get("EVAL_BATCH", 128))
     cfg.eval.num_samples = int(os.environ.get("EVAL_SAMPLES", 10000))
-    cfg.eval.begin_ckpt = 1
-    cfg.eval.end_ckpt = 1
+    cfg.eval.begin_ckpt = int(os.environ.get("EVAL_CKPT", 1))
+    cfg.eval.end_ckpt = int(os.environ.get("EVAL_CKPT", 1))
     cfg.sampling.steps = int(os.environ.get("EVAL_STEPS", 1000))
     cfg.eval.sub_geometry = True
     cfg.eval.save_mols = "true"

@@ -1,0 +1,63 @@
+"""Extended quality run on TPU: train the full-size flagship DMT for
+QUALITY_STEPS (default 100k) steps on a larger synthetic QM9S-schema set
+(32k molecules vs the 4k used by the 10k-step demonstration), writing
+numbered checkpoints for the 10k-molecule eval protocol
+(tools/tpu_eval_10k.py with matching TRAIN_WORKDIR/synthetic_size).
+
+Snapshot sampling is disabled during training (the eval protocol measures
+quality afterwards); preemption checkpoints land every 5k steps so the run
+is resumable. Logs to tools/quality_run.log.
+"""
+
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    from diffspectra_tpu import run_lib
+    from diffspectra_tpu.configs import diffspectra_qm9s
+
+    cfg = diffspectra_qm9s.get_config()
+    cfg.data.spectra_version = "ir"
+    cfg.data.synthetic = True
+    cfg.data.synthetic_size = int(os.environ.get("QUALITY_DATA_SIZE", 32768))
+    bs = int(os.environ.get("QUALITY_BATCH", 128))
+    steps = int(os.environ.get("QUALITY_STEPS", 100000))
+    cfg.training.base_batch_size = bs
+    cfg.training.batch_size = bs
+    cfg.training.eval_batch_size = 32
+    cfg.training.eval_samples = 32
+    cfg.training.n_iters = steps
+    cfg.training.log_freq = 500
+    cfg.training.snapshot_freq = int(os.environ.get("QUALITY_SNAPSHOT", 25000))
+    cfg.training.snapshot_freq_for_preemption = 5000
+    cfg.training.snapshot_sampling = False
+    cfg.optim.warmup = min(5000, steps // 10)
+
+    workdir = os.environ.get("TRAIN_WORKDIR", "/root/repo/exp/quality_run")
+    logging.basicConfig(
+        level=logging.INFO,
+        handlers=[
+            logging.StreamHandler(sys.stdout),
+            logging.FileHandler(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "quality_run.log"
+                ),
+                mode="a",
+            ),
+        ],
+        force=True,
+    )
+    run_lib.train(cfg, None, workdir)
+
+
+if __name__ == "__main__":
+    main()
