@@ -515,6 +515,8 @@ class DMT(nn.Module):
         # HBM and layout-converting carries every iteration; unrolling turns
         # those into static slices XLA folds away. Param tree is unchanged
         # (still stacked), so checkpoints are interchangeable across settings.
+        if self.remat_policy not in ("full", "dots"):
+            raise ValueError(f"unknown remat_policy: {self.remat_policy!r}")
         remat_policy = (
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             if self.remat_policy == "dots"

@@ -394,6 +394,8 @@ class DMT_WO_EQ(nn.Module):
 
         # nn.scan + nn.remat over the identical blocks (see models/dmt.py):
         # one compiled block, stacked params, rematerialised backward
+        if self.remat_policy not in ("full", "dots"):
+            raise ValueError(f"unknown remat_policy: {self.remat_policy!r}")
         remat_policy = (
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             if self.remat_policy == "dots"

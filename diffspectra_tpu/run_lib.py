@@ -140,6 +140,23 @@ def _augment_config(config):
     return False, False
 
 
+def _sampling_mesh(mesh, batch_size):
+    """Mesh for the sampling fan-out, or None when it can't apply: single
+    device, indivisible batch (graceful single-device fallback instead of a
+    hard assert), or multi-host (the host decode gathers shard_map outputs
+    that would span non-addressable devices)."""
+    n = mesh.devices.size
+    if n <= 1 or jax.process_count() > 1:
+        return None
+    if batch_size % n != 0:
+        logging.info(
+            "sampling mesh fan-out disabled: batch %d not divisible over %d "
+            "devices; running single-device", batch_size, n,
+        )
+        return None
+    return mesh
+
+
 def _maybe_init_distributed():
     """Multi-host DP over DCN: same shard_map program, more processes
     (SURVEY §2.12). Activated by the standard JAX coordinator env vars."""
@@ -202,6 +219,9 @@ def diffspectra_train(config, config_original_qm9, workdir):
     n_dev = mesh.devices.size
     use_mesh = n_dev > 1
     if use_mesh:
+        assert batch_size % n_dev == 0, (
+            f"training.batch_size {batch_size} must divide over {n_dev} devices"
+        )
         axis_step = get_step_fn(noise_scheduler, model, tx, scaler, config, True, "data")
         step_fn = make_parallel_train_step(axis_step, mesh)
         state = replicate(mesh, state)
@@ -257,6 +277,8 @@ def diffspectra_train(config, config_original_qm9, workdir):
             )
             return batch
 
+        base_step = get_step_fn(noise_scheduler, model, tx, scaler, config)
+
         if use_mesh:
             def store_step_body(state, arrays, idx, rng):
                 k_aug, k_step = jax.random.split(rng)
@@ -280,7 +302,6 @@ def diffspectra_train(config, config_original_qm9, workdir):
             @partial(jax.jit, static_argnames="n_pad")
             def store_step(state, arrays, idx, rng, n_pad=0):
                 k_aug, k_step = jax.random.split(rng)
-                base_step = get_step_fn(noise_scheduler, model, tx, scaler, config)
                 return base_step(state, _assemble(arrays, idx, k_aug, n_pad), k_step)
 
             store_num_atom = second_train_ds.arrays["num_atom"][second_train_ds.indices]
@@ -304,7 +325,7 @@ def diffspectra_train(config, config_original_qm9, workdir):
             config, _inference_model(config), noise_scheduler,
             config.training.eval_batch_size,
             config.training.eval_samples, inverse_scaler, val_ds, fixed_seed=None,
-            mesh=mesh if use_mesh else None,
+            mesh=_sampling_mesh(mesh, config.training.eval_batch_size),
         )
         edm_metric = get_edm_metric(dataset_info)
         edm_metric_2d = get_2D_edm_metric(dataset_info)
@@ -437,7 +458,7 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
         config, _inference_model(config), noise_scheduler, config.eval.batch_size,
         config.eval.num_samples, inverse_scaler, test_ds, fixed_seed=42,
         sampling_temperature=config.eval.sampling_temperature,
-        mesh=eval_mesh if eval_mesh.devices.size > 1 else None,
+        mesh=_sampling_mesh(eval_mesh, config.eval.batch_size),
     )
 
     atom_decoder = dataset_info["atom_decoder"]
