@@ -174,3 +174,23 @@ def test_device_store_train_runs_under_mesh(tmp_path):
     cfg.training.snapshot_sampling = False
     state = run_lib.train(cfg, None, str(tmp_path / "wd"))
     assert int(state.step) == cfg.training.n_iters + 1
+
+
+def test_device_store_train_allspectra_mesh(tmp_path):
+    """allspectra (tuple context: uv+ir+raman) through the mesh store path —
+    tuple leaves must shard correctly through shard_map in_specs."""
+    from diffspectra_tpu import run_lib
+
+    cfg = smoke.get_config()
+    cfg.data.spectra_version = "allspectra"
+    cfg.training.num_devices = 8
+    cfg.training.base_batch_size = 2
+    cfg.training.batch_size = 16
+    cfg.training.eval_batch_size = 16
+    cfg.training.n_iters = 2
+    cfg.training.log_freq = 1
+    cfg.training.snapshot_freq = 100
+    cfg.training.snapshot_freq_for_preemption = 100
+    cfg.training.snapshot_sampling = False
+    state = run_lib.train(cfg, None, str(tmp_path / "wd"))
+    assert int(state.step) == cfg.training.n_iters + 1
