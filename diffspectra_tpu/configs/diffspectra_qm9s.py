@@ -159,6 +159,9 @@ def get_config():
     evaluate.sub_geometry = True
     evaluate.save_mols = "false"
     evaluate.sampling_temperature = 1.0
+    # Top-K structure recovery: candidates per spectrum (1 = Top-1 only;
+    # 10 reproduces the reference's Top-10 protocol, README.md:15)
+    evaluate.num_candidates = 1
     # atom-count buckets for the sampling sweep (empty = single static N).
     # Pair-grid compute scales ~N^2 and the QM9 mean is 18 atoms, so bucketed
     # padding trims ~2x of the padded compute at full batches (measured

@@ -244,6 +244,37 @@ def _pair_scores_graph(true_mol: MolGraph, pred_mol: MolGraph):
     }
 
 
+def _exact_match(true_mol, pred_mol):
+    """Graph-identity exact match: InChIKey equality under RDKit (ref
+    compute_metrics.py:222-233), WL-hash equality otherwise."""
+    if true_mol is None or pred_mol is None:
+        return False
+    if isinstance(true_mol, MolGraph) or not HAS_RDKIT:
+        try:
+            return true_mol.wl_hash() == pred_mol.wl_hash()
+        except Exception:
+            return False
+    try:
+        return Chem.MolToInchiKey(true_mol) == Chem.MolToInchiKey(pred_mol)
+    except Exception:
+        return False
+
+
+def top_k_exact_match(true_mols, pred_lists):
+    """Top-K structure-recovery accuracy: fraction of targets where ANY of
+    the K candidates exact-matches (the reference's 40.76%/99.49% Top-1 /
+    Top-10 headline, README.md:15 — its repo only scores Top-1 per pair,
+    compute_metrics.py:205-233; the multi-candidate sweep lives here)."""
+    hits, n = 0, 0
+    for t, preds in zip(true_mols, pred_lists):
+        if t is None:
+            continue
+        n += 1
+        if any(_exact_match(t, p) for p in preds):
+            hits += 1
+    return hits / max(n, 1)
+
+
 def evaluate_jsonl_predictions(input_data, output_csv: str):
     """Evaluate prediction pairs (ref compute_metrics.py:147-319).
 

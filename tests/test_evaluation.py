@@ -176,3 +176,34 @@ def test_mose_metrics_run():
     assert res["Frag"] == pytest.approx(1.0)
     assert np.isfinite(res["FCD"])
     assert res["weight"] == pytest.approx(16.043, abs=0.01)
+
+
+def test_top_k_exact_match():
+    """Top-K exact match: a hit in ANY candidate slot counts (BASELINE.md
+    Top-1/Top-10 headline protocol)."""
+    import numpy as np
+
+    from diffspectra_tpu.evaluation.compute_metrics import top_k_exact_match
+    from diffspectra_tpu.evaluation.molgraph import MolGraph
+
+    def mol(syms, bonds):
+        n = len(syms)
+        bo = np.zeros((n, n), dtype=int)
+        for i, j, o in bonds:
+            bo[i, j] = bo[j, i] = o
+        return MolGraph(syms, np.zeros(n, dtype=int), bo)
+
+    water = mol(["O", "H", "H"], [(0, 1, 1), (0, 2, 1)])
+    methane = mol(["C", "H", "H", "H", "H"],
+                  [(0, i, 1) for i in range(1, 5)])
+    ammonia = mol(["N", "H", "H", "H"], [(0, i, 1) for i in range(1, 4)])
+
+    true_mols = [water, methane]
+    # target 0: correct candidate in slot 2 -> top-3 hit, top-1 miss
+    # target 1: no correct candidate
+    preds = [[ammonia, water, ammonia], [ammonia, water, ammonia]]
+    assert top_k_exact_match(true_mols, preds) == 0.5
+    assert top_k_exact_match(true_mols, [[p[0]] for p in preds]) == 0.0
+    assert top_k_exact_match(true_mols, [[water], [methane]]) == 1.0
+    # None targets are skipped, None candidates never match
+    assert top_k_exact_match([None, methane], [[water], [None, methane]]) == 1.0

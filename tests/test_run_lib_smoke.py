@@ -161,3 +161,38 @@ def test_mesh_sampling_harness():
     _, gt_pos1, _ = fn1(variables, jax.random.PRNGKey(1))
     for a, b in zip(gt_pos, gt_pos1):
         np.testing.assert_allclose(a, b)
+
+
+def test_eval_top_k_candidates(tmp_path, caplog):
+    """eval.num_candidates>1 repeats the sweep and logs Top-K accuracy."""
+    import logging as _logging
+
+    cfg = smoke.get_config()
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.data.max_node = 12
+    cfg.data.synthetic_size = 64
+    cfg.training.base_batch_size = 4
+    cfg.training.batch_size = 4
+    cfg.training.eval_batch_size = 4
+    cfg.training.eval_samples = 4
+    cfg.training.n_iters = 2
+    cfg.training.snapshot_freq = 2
+    cfg.training.snapshot_freq_for_preemption = 10
+    cfg.training.log_freq = 2
+    cfg.training.num_devices = 1
+    cfg.training.snapshot_sampling = False
+    cfg.sampling.steps = 4
+    cfg.eval.num_samples = 4
+    cfg.eval.batch_size = 4
+    cfg.eval.begin_ckpt = 1
+    cfg.eval.end_ckpt = 1
+    cfg.eval.sub_geometry = False
+    cfg.eval.num_candidates = 2
+
+    workdir = str(tmp_path / "run")
+    run_lib.train(cfg, None, workdir)
+    with caplog.at_level(_logging.INFO):
+        run_lib.evaluate(cfg, None, workdir, "eval")
+    assert any("Top-2 accuracy" in r.getMessage() for r in caplog.records)
