@@ -28,33 +28,37 @@ def edge_com_spectra_transform(
     edge_one_hot [M,N,N,C] f32, positions, formal_charges [M,N,1],
     num_atom, uv/ir/raman (log-normalised).
     """
+    from . import native  # C++ packer (numpy fallback inside)
+
     atom_type = raw["atom_type"]
     edge_type = raw["edge_type"]
     m, n = atom_type.shape
 
-    ar = np.arange(n)
-    node_mask = (ar[None, :] < raw["num_atom"][:, None]).astype(np.float32)
-
-    atom_one_hot = (
-        atom_type[..., None] == np.arange(atom_types)[None, None, :]
-    ).astype(np.float32) * node_mask[..., None]
-
-    # bond-order channel: aromatic(4) -> 0, divide by 3 (ref :117-120)
-    edge_bond = edge_type.astype(np.float32).copy()
-    edge_bond[edge_type == 4] = 0.0
-    edge_bond = edge_bond / 3.0
-    feats = [edge_bond]
-    if include_aromatic:
-        feats.append((edge_type == 4).astype(np.float32))
-    edge_feat = np.stack(feats, axis=-1)
-    edge_exist = (edge_feat.sum(-1, keepdims=True) != 0).astype(np.float32)
-    edge_one_hot = np.concatenate([edge_exist, edge_feat], axis=-1)
+    # One-hot/edge-feature packing runs through the first-party C++ packer
+    # (native/packer.cc) in row chunks — peak temp memory stays bounded on
+    # the full 100k+-row QM9S arrays, and the packer is the single source of
+    # the packing semantics (parity: tests/test_native_packer.py).
+    chunk = 8192
+    parts = []
+    for start in range(0, m, chunk):
+        sl = slice(start, start + chunk)
+        parts.append(
+            native.pack_batch(
+                atom_type[sl], raw["pos"][sl], edge_type[sl], raw["fc"][sl],
+                raw["num_atom"][sl], spectra=None, atom_types=atom_types,
+                include_aromatic=include_aromatic,
+            )
+        )
+    packed = {
+        k: np.concatenate([p[k] for p in parts], axis=0)
+        for k in ("atom_one_hot", "edge_one_hot", "positions", "formal_charges")
+    }
 
     out = dict(
-        atom_one_hot=atom_one_hot,
-        edge_one_hot=edge_one_hot,
-        positions=raw["pos"].astype(np.float32),
-        formal_charges=raw["fc"].astype(np.float32)[..., None],
+        atom_one_hot=packed["atom_one_hot"],
+        edge_one_hot=packed["edge_one_hot"],
+        positions=packed["positions"],
+        formal_charges=packed["formal_charges"],
         num_atom=raw["num_atom"],
         atom_type=atom_type,
         edge_type=edge_type,

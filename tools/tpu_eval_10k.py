@@ -33,8 +33,10 @@ def main():
     cfg.eval.begin_ckpt = int(os.environ.get("EVAL_CKPT", 1))
     cfg.eval.end_ckpt = int(os.environ.get("EVAL_CKPT", 1))
     cfg.sampling.steps = int(os.environ.get("EVAL_STEPS", 1000))
-    cfg.eval.sub_geometry = True
-    cfg.eval.save_mols = "true"
+    cfg.sampling.method = os.environ.get("EVAL_METHOD", "ancestral")
+    cfg.eval.num_candidates = int(os.environ.get("EVAL_CANDIDATES", 1))
+    cfg.eval.sub_geometry = os.environ.get("EVAL_SUB_GEOMETRY", "1") == "1"
+    cfg.eval.save_mols = os.environ.get("EVAL_SAVE_MOLS", "true")
 
     workdir = os.environ.get("TRAIN_WORKDIR", "/root/repo/exp/tpu_train_smoke")
     logging.basicConfig(
