@@ -192,6 +192,44 @@ def index_iterator(
         yield bsize, rows.astype(np.int32)
 
 
+def make_sharded_store_step(
+    axis_step,
+    mesh,
+    *,
+    atom_types: int,
+    include_aromatic: bool,
+    spectra_keys: Tuple[str, ...],
+    aug_rotation: bool,
+    aug_translation: bool,
+    aug_translation_scale: float,
+    axis_name: str = "data",
+):
+    """The mesh train fast path: a jitted shard_map step
+    ``(state, arrays, idx, rng) -> (state, loss)`` where each chip assembles
+    its batch from its LOCAL store shard (shard-local indices from
+    ``sharded_index_iterator``), augments positions with a decorrelated key,
+    and runs the axis-aware ``axis_step`` (psum gradient reduction inside).
+    Used by run_lib's trainer and exercised verbatim by the driver's
+    multi-chip dry run."""
+    from ..parallel import make_parallel_store_step
+    from .pipeline import augment_positions
+
+    def store_step_body(state, arrays, idx, rng):
+        k_aug, k_step = jax.random.split(rng)
+        k_aug = jax.random.fold_in(k_aug, jax.lax.axis_index(axis_name))
+        batch = build_batch(
+            arrays, idx, atom_types=atom_types,
+            include_aromatic=include_aromatic, spectra_keys=spectra_keys,
+        )
+        batch["positions"] = augment_positions(
+            k_aug, batch["positions"], batch["atom_mask"],
+            aug_rotation, aug_translation, aug_translation_scale,
+        )
+        return axis_step(state, batch, k_step)
+
+    return make_parallel_store_step(store_step_body, mesh, axis_name)
+
+
 def sharded_index_iterator(
     shard_size: int,
     n_dev: int,

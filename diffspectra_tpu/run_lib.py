@@ -29,7 +29,6 @@ from .evaluation.molgraph import from_decoded
 from .models import ema as ema_lib
 from .parallel import (
     create_mesh,
-    make_parallel_store_step,
     make_parallel_train_step,
     replicate,
     shard_batch,
@@ -280,12 +279,12 @@ def diffspectra_train(config, config_original_qm9, workdir):
         base_step = get_step_fn(noise_scheduler, model, tx, scaler, config)
 
         if use_mesh:
-            def store_step_body(state, arrays, idx, rng):
-                k_aug, k_step = jax.random.split(rng)
-                k_aug = jax.random.fold_in(k_aug, jax.lax.axis_index("data"))
-                return axis_step(state, _assemble(arrays, idx, k_aug), k_step)
-
-            store_pstep = make_parallel_store_step(store_step_body, mesh)
+            store_pstep = device_store.make_sharded_store_step(
+                axis_step, mesh, atom_types=atom_types,
+                include_aromatic=include_aromatic, spectra_keys=spectra_keys,
+                aug_rotation=aug_rot, aug_translation=aug_trans,
+                aug_translation_scale=aug_scale,
+            )
 
             def store_step(state, arrays, idx, rng, n_pad=0):
                 return store_pstep(state, arrays, idx, rng)
@@ -492,9 +491,8 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
         if config.eval.enable_sampling:
             logging.info("Sampling -- ckpt: %d", ckpt)
             rng, k_samp = jax.random.split(rng)
-            processed_mols, gt_pos, gt_mols = sampling_fn(
-                _ema_variables(jax.device_get(state)), k_samp
-            )
+            host_ema_vars = _ema_variables(jax.device_get(state))
+            processed_mols, gt_pos, gt_mols = sampling_fn(host_ema_vars, k_samp)
             logging.info("Sampling accomplished")
 
             if not config.only_2D:
@@ -551,9 +549,7 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
                         "Top-K candidate sweep %d/%d", extra + 2, num_candidates
                     )
                     rng, k_extra = jax.random.split(rng)
-                    extra_processed, _, _ = sampling_fn(
-                        _ema_variables(jax.device_get(state)), k_extra
-                    )
+                    extra_processed, _, _ = sampling_fn(host_ema_vars, k_extra)
                     if not config.only_2D:
                         _, _, extra_3d = edm_metric(extra_processed)
                         for lst, m in zip(cand_3d, extra_3d):
