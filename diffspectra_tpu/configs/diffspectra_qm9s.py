@@ -87,6 +87,8 @@ def get_config():
     # block-scan backward remat policy: 'full' (recompute all, min memory)
     # or 'dots' (save MXU outputs, recompute only elementwise)
     model.remat_policy = "full"
+    # bf16 SpecFormer compute inside the DMT graph (see models/dmt.py gate)
+    model.specformer_bf16 = False
     model.patch_len = [20, 50, 50]
     model.stride = [10, 25, 25]
     # loss

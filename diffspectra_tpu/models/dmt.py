@@ -362,6 +362,9 @@ class DMT(nn.Module):
     # outputs and recomputes only VPU elementwise work (faster backward,
     # ~n_layers x the pair-grid dot activations resident). No param change.
     remat_policy: str = "full"
+    # run SpecFormer in the model dtype (bf16 compute) inside this graph;
+    # off by default — see the gate comment at the SpecFormer call site
+    specformer_bf16: bool = False
 
     @staticmethod
     def from_config(config):
@@ -381,6 +384,7 @@ class DMT(nn.Module):
             use_pallas=bool(use_pallas),
             scan_unroll=int(config.model.get("scan_unroll", 1)),
             remat_policy=str(config.model.get("remat_policy", "full")),
+            specformer_bf16=bool(config.model.get("specformer_bf16", False)),
             in_node_dim=config.data.atom_types + int(config.model.include_fc_charge),
             hidden_dim=config.model.nf,
             edge_hidden_dim=config.model.nf // 4,
@@ -455,10 +459,11 @@ class DMT(nn.Module):
                 stride=self.stride,
                 output_dim=self.hidden_dim,
                 spectra_version=self.spectra_version,
-                # NB: SpecFormer supports a bf16 compute path (dtype attr)
-                # but threading it here SEGVs this environment's remote TPU
-                # compiler on the train graph; ~8% step win deferred
-                # (ROADMAP item 5).
+                # bf16 SpecFormer compute inside the train graph is gated:
+                # threading dtype here SEGV'd this environment's remote TPU
+                # compiler when first tried (ROADMAP item 5); the knob lets
+                # us re-test as the toolchain moves without a code change.
+                dtype=self.dtype if self.specformer_bf16 else jnp.float32,
                 name="cond_encoder",
             )(context, deterministic=deterministic)
             ctx = nn.Dense(time_dim, name="cond_lin")(ctx)

@@ -153,3 +153,18 @@ def test_train_step_remat_dots_policy():
     leaves_d = jax.tree_util.tree_leaves(state_d.params)
     for a, b in zip(leaves_f, leaves_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_train_step_specformer_bf16_path():
+    """model.specformer_bf16 runs the spectra encoder in the compute dtype;
+    the step must produce a finite loss (the TPU remote-compiler gate is an
+    environment issue, not a graph issue — this pins the graph)."""
+    cfg = small_config()
+    cfg.model.self_cond = False
+    cfg.model.specformer_bf16 = True
+    cfg.training.matmul_precision = "bfloat16"
+    batch = make_batch(jax.random.PRNGKey(1), cfg)
+    _, state, step_fn = init_everything(cfg, batch)
+    state, loss = step_fn(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 1
