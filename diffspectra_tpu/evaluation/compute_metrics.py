@@ -254,6 +254,8 @@ def _exact_match(true_mol, pred_mol):
             return true_mol.wl_hash() == pred_mol.wl_hash()
         except Exception:
             return False
+    from rdkit import Chem
+
     try:
         return Chem.MolToInchiKey(true_mol) == Chem.MolToInchiKey(pred_mol)
     except Exception:

@@ -207,3 +207,34 @@ def test_top_k_exact_match():
     assert top_k_exact_match(true_mols, [[water], [methane]]) == 1.0
     # None targets are skipped, None candidates never match
     assert top_k_exact_match([None, methane], [[water], [None, methane]]) == 1.0
+
+
+def test_exact_match_rdkit_mode_stubbed(monkeypatch):
+    """Regression (VERDICT r1 weak #1): _exact_match's RDKit branch used a
+    module-scope `Chem` that was never imported; the NameError was swallowed
+    by `except Exception: return False`, silently zeroing Top-K accuracy in
+    every RDKit deployment.  Stub an `rdkit` module to exercise the branch
+    without RDKit installed."""
+    import sys
+    import types
+
+    from diffspectra_tpu.evaluation import compute_metrics as CM
+
+    calls = []
+
+    class _FakeMol:
+        def __init__(self, key):
+            self.key = key
+
+    chem = types.SimpleNamespace(
+        MolToInchiKey=lambda m: (calls.append(m.key), m.key)[1]
+    )
+    fake_rdkit = types.ModuleType("rdkit")
+    fake_rdkit.Chem = chem
+    monkeypatch.setitem(sys.modules, "rdkit", fake_rdkit)
+    monkeypatch.setattr(CM, "HAS_RDKIT", True)
+
+    assert CM._exact_match(_FakeMol("AAA"), _FakeMol("AAA")) is True
+    assert CM._exact_match(_FakeMol("AAA"), _FakeMol("BBB")) is False
+    # the stub was actually reached (not short-circuited by a swallowed error)
+    assert calls == ["AAA", "AAA", "AAA", "BBB"]
