@@ -6,11 +6,12 @@ Rewrite of ref compute_metrics.py:38-333 + run_lib.py:59-169. Two modes:
 
 - RDKit present: tautomer-canonicalised SMILES / InChIKey exact match,
   Morgan(2, 2048) + MACCS fingerprints, Fraggle, SMARTS functional groups —
-  the reference's exact definitions. MCES requires pulp+myopic_mces; when
-  absent it degrades to the graph edit proxy below.
+  the reference's exact definitions. MCES uses pulp+myopic_mces when
+  installed (exact protocol); otherwise the first-party exact
+  branch-and-bound in mces.py (same quantity at QM9 scale).
 - RDKit absent: WL-hash exact match (isomorphism-invariant stand-in for
   InChIKey), WL fingerprints for Tanimoto/cosine, graph-pattern functional
-  groups, and an MCES proxy = |E1| + |E2| - 2|shared labelled bonds|.
+  groups, and the exact MCES distance from mces.py.
 
 Output file shapes and metric row names match the reference so downstream
 tooling is drop-in.
@@ -133,23 +134,16 @@ def _graph_functional_groups(mol: MolGraph) -> set:
     return groups
 
 
-def _mces_proxy(m1: MolGraph, m2: MolGraph) -> float:
-    """Graph-edit distance proxy: |E1| + |E2| - 2 |shared labelled bonds|
-    where a bond label is (sorted endpoint symbols, order)."""
-    def labels(m):
-        from collections import Counter
+def _mces_exact(m1: MolGraph, m2: MolGraph) -> float:
+    """Exact MCES distance (first-party branch-and-bound, mces.py).
 
-        c = Counter()
-        iu, ju = np.nonzero(np.triu(m.bond_orders, 1))
-        for i, j in zip(iu, ju):
-            c[
-                (tuple(sorted((m.atom_syms[i], m.atom_syms[j]))), int(m.bond_orders[i, j]))
-            ] += 1
-        return c
+    Replaces the round-1 bond-multiset proxy: at QM9 scale this computes the
+    same quantity as the reference's myopic_mces ILP (ref
+    compute_metrics.py:235-243), so MCES numbers are comparable even without
+    pulp/myopic_mces installed."""
+    from .mces import mces_distance
 
-    c1, c2 = labels(m1), labels(m2)
-    shared = sum(min(c1[k], c2[k]) for k in c1.keys() & c2.keys())
-    return float(sum(c1.values()) + sum(c2.values()) - 2 * shared)
+    return mces_distance(m1, m2)
 
 
 # ----------------------------------------------------------------- rdkit mode
@@ -197,7 +191,7 @@ def _pair_scores_rdkit(true_mol, pred_mol, solver):
     else:
         from .cal_geometry import _to_molgraph
 
-        scores["mces"] = _mces_proxy(_to_molgraph(true_mol), _to_molgraph(pred_mol))
+        scores["mces"] = _mces_exact(_to_molgraph(true_mol), _to_molgraph(pred_mol))
     tf = AllChem.GetMorganFingerprintAsBitVect(true_mol, 2, nBits=2048)
     pf = AllChem.GetMorganFingerprintAsBitVect(pred_mol, 2, nBits=2048)
     tm = MACCSkeys.GenMACCSKeys(true_mol)
@@ -235,7 +229,7 @@ def _pair_scores_graph(true_mol: MolGraph, pred_mol: MolGraph):
     all_g = fg1 | fg2
     return {
         "inchikey_match": true_mol.wl_hash() == pred_mol.wl_hash(),
-        "mces": _mces_proxy(true_mol, pred_mol),
+        "mces": _mces_exact(true_mol, pred_mol),
         "tanimoto": FP.tanimoto(fp_t, fp_p),
         "tanimoto_maccs": FP.tanimoto(fp_t, fp_p),
         "cosine": FP.cosine(fp_t, fp_p),

@@ -1,0 +1,183 @@
+"""Exact MCES (maximum common edge subgraph) distance via branch-and-bound.
+
+The reference scores structure recovery with the *myopic MCES* distance
+(ref compute_metrics.py:235-243: ``MCES(smiles1, smiles2, threshold=100,
+always_stronger_bound=False)`` from the ``myopic_mces`` package, an ILP over
+pulp/CBC).  Below its threshold that package computes the exact MCES
+distance; QM9 molecules (<= 9 heavy atoms, <= ~10 heavy-atom bonds) are far
+below any practical threshold, so on this dataset the reference's number IS
+the exact distance.  This module computes the same quantity first-party:
+
+    d(G1, G2) = |E1| + |E2| - 2 * |MCES(G1, G2)|
+
+over the heavy-atom graphs (SMILES-implicit hydrogens are excluded, matching
+the reference's SMILES-based protocol), where an edge pair may be matched
+only if both endpoint elements and the bond order agree.  Exact search is a
+branch-and-bound over injective vertex mappings with an
+unmatched-edge-capacity bound — milliseconds at QM9 scale, with a node-count
+safety valve for adversarially large inputs (falls back to the labelled
+bond-multiset lower-bound proxy and logs).
+
+When ``myopic_mces``/``pulp`` are installed the caller (compute_metrics)
+still prefers them for protocol-exactness on larger-than-QM9 molecules; this
+module removes the silent degradation to the weak proxy everywhere else.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .molgraph import MolGraph
+
+# B&B safety valve: max number of search-tree nodes before falling back.
+_MAX_NODES = 2_000_000
+
+
+def _heavy_graph(mol: MolGraph) -> Tuple[List[str], np.ndarray]:
+    """Heavy-atom element list + bond-order matrix (H stripped)."""
+    idx = [i for i, s in enumerate(mol.atom_syms) if s != "H"]
+    syms = [mol.atom_syms[i] for i in idx]
+    bo = mol.bond_orders[np.ix_(idx, idx)] if idx else np.zeros((0, 0), np.int64)
+    return syms, np.asarray(bo, dtype=np.int64)
+
+
+def _edge_count(bo: np.ndarray) -> int:
+    return int(np.count_nonzero(np.triu(bo, 1)))
+
+
+def _bfs_order(bo: np.ndarray) -> List[int]:
+    """Vertex visit order: BFS from the max-degree vertex, components chained
+    by decreasing size — early vertices are densely connected to already
+    placed ones, which makes the capacity bound bite early."""
+    n = bo.shape[0]
+    deg = (bo > 0).sum(axis=1)
+    seen = np.zeros(n, dtype=bool)
+    order: List[int] = []
+    while len(order) < n:
+        roots = [i for i in range(n) if not seen[i]]
+        root = max(roots, key=lambda i: deg[i])
+        queue = [root]
+        seen[root] = True
+        while queue:
+            u = queue.pop(0)
+            order.append(u)
+            nbrs = sorted(
+                (int(v) for v in np.nonzero(bo[u])[0] if not seen[v]),
+                key=lambda v: -deg[v],
+            )
+            for v in nbrs:
+                seen[v] = True
+                queue.append(v)
+    return order
+
+
+def max_common_edges(
+    syms1: List[str], bo1: np.ndarray, syms2: List[str], bo2: np.ndarray
+) -> Optional[int]:
+    """|MCES|: max #edges of a common subgraph under an injective vertex
+    mapping that preserves element labels and bond orders.
+
+    Returns None if the search exceeds the node budget (caller falls back).
+    """
+    if len(syms1) > len(syms2) or (
+        len(syms1) == len(syms2) and _edge_count(bo1) > _edge_count(bo2)
+    ):
+        syms1, bo1, syms2, bo2 = syms2, bo2, syms1, bo1
+    n1, n2 = len(syms1), len(syms2)
+    e1, e2 = _edge_count(bo1), _edge_count(bo2)
+    if e1 == 0 or e2 == 0:
+        return 0
+
+    order = _bfs_order(bo1)
+    # edges_closed[k]: #edges of G1 with BOTH endpoints in order[:k+1] and at
+    # least one endpoint == order[k] — the edges decided when placing order[k].
+    placed_set: set = set()
+    edges_closed = []
+    for v in order:
+        edges_closed.append(
+            sum(1 for u in placed_set if bo1[v, u] > 0)
+        )
+        placed_set.add(v)
+    # remaining_edges[k]: #G1-edges not yet decided after placing order[:k].
+    suffix = np.cumsum(np.asarray(edges_closed[::-1]))[::-1]
+
+    # candidate targets per G1 vertex (element-compatible), degree-sorted
+    cand = {
+        v: [u for u in range(n2) if syms2[u] == syms1[v]] for v in range(n1)
+    }
+
+    best = 0
+    nodes = 0
+    mapping = np.full(n1, -1, dtype=np.int64)
+    used = np.zeros(n2, dtype=bool)
+
+    def bound(k: int, matched: int) -> int:
+        rem1 = int(suffix[k]) if k < n1 else 0
+        return matched + min(rem1, e2 - matched)
+
+    def rec(k: int, matched: int) -> bool:
+        """Returns False when the node budget is exhausted."""
+        nonlocal best, nodes
+        nodes += 1
+        if nodes > _MAX_NODES:
+            return False
+        if matched > best:
+            best = matched
+        if k == n1 or bound(k, matched) <= best:
+            return True
+        v = order[k]
+        prev = [u for u in order[:k] if mapping[u] >= 0 and bo1[v, u] > 0]
+        for tgt in cand[v]:
+            if used[tgt]:
+                continue
+            gain = sum(
+                1 for u in prev if bo2[tgt, mapping[u]] == bo1[v, u]
+            )
+            mapping[v] = tgt
+            used[tgt] = True
+            ok = rec(k + 1, matched + gain)
+            mapping[v] = -1
+            used[tgt] = False
+            if not ok:
+                return False
+        # also branch on leaving v unmapped
+        return rec(k + 1, matched)
+
+    ok = rec(0, 0)
+    return best if ok else None
+
+
+def _multiset_proxy(syms1, bo1, syms2, bo2) -> float:
+    """Labelled bond-multiset lower bound on shared edges -> distance upper
+    bound's complement; kept as the budget-exhaustion fallback."""
+    from collections import Counter
+
+    def labels(syms, bo):
+        c: Counter = Counter()
+        iu, ju = np.nonzero(np.triu(bo, 1))
+        for i, j in zip(iu, ju):
+            c[(tuple(sorted((syms[i], syms[j]))), int(bo[i, j]))] += 1
+        return c
+
+    c1, c2 = labels(syms1, bo1), labels(syms2, bo2)
+    shared = sum(min(c1[k], c2[k]) for k in c1.keys() & c2.keys())
+    return float(sum(c1.values()) + sum(c2.values()) - 2 * shared)
+
+
+def mces_distance(m1: MolGraph, m2: MolGraph) -> float:
+    """Exact MCES distance |E1|+|E2|-2|MCES| over heavy-atom graphs."""
+    syms1, bo1 = _heavy_graph(m1)
+    syms2, bo2 = _heavy_graph(m2)
+    e1, e2 = _edge_count(bo1), _edge_count(bo2)
+    common = max_common_edges(syms1, bo1, syms2, bo2)
+    if common is None:  # budget exhausted (not reachable at QM9 scale)
+        logging.warning(
+            "mces_distance: B&B budget exhausted (%d vs %d atoms); "
+            "returning bond-multiset proxy",
+            len(syms1), len(syms2),
+        )
+        return _multiset_proxy(syms1, bo1, syms2, bo2)
+    return float(e1 + e2 - 2 * common)
