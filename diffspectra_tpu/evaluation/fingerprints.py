@@ -56,6 +56,69 @@ def cosine(fp1: Counter, fp2: Counter) -> float:
     return float(np.dot(v1, v2) / denom) if denom else 0.0
 
 
+def counters_to_csr(fps, vocab: dict):
+    """List of Counter fingerprints -> binary scipy CSR over `vocab`
+    (features absent from vocab are added in place)."""
+    import scipy.sparse as sp
+
+    rows, cols = [], []
+    for r, fp in enumerate(fps):
+        for k in fp:
+            c = vocab.setdefault(k, len(vocab))
+            rows.append(r)
+            cols.append(c)
+    return sp.csr_matrix(
+        (np.ones(len(rows), dtype=np.float32), (rows, cols)),
+        shape=(len(fps), max(len(vocab), 1)),
+    )
+
+
+def _block_tanimoto(a, b, sa, sb):
+    """Dense [a.rows, b.rows] binary-Tanimoto block from (sparse or dense)
+    binary matrices with precomputed row sums."""
+    inter = np.asarray((a @ b.T).todense() if hasattr(a, "todense") else a @ b.T,
+                       dtype=np.float64)
+    union = sa[:, None] + sb[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+    return out
+
+
+def snn_matrix(gen_mat, ref_mat, block: int = 1024) -> float:
+    """moses SNNMetric: mean over GEN of the max Tanimoto to the reference
+    set (one-way, full sets, blockwise so 10k x 13k fits in memory)."""
+    if gen_mat.shape[0] == 0 or ref_mat.shape[0] == 0:
+        return float("nan")
+    sg = np.asarray(gen_mat.sum(axis=1)).reshape(-1)
+    sr = np.asarray(ref_mat.sum(axis=1)).reshape(-1)
+    maxima = np.full(gen_mat.shape[0], -np.inf)
+    for i in range(0, gen_mat.shape[0], block):
+        gi = gen_mat[i : i + block]
+        for j in range(0, ref_mat.shape[0], block):
+            t = _block_tanimoto(gi, ref_mat[j : j + block], sg[i : i + block],
+                                sr[j : j + block])
+            maxima[i : i + block] = np.maximum(maxima[i : i + block], t.max(1))
+    return float(maxima.mean())
+
+
+def internal_diversity_matrix(mat, block: int = 1024) -> float:
+    """moses internal_diversity (p=1): 1 - mean pairwise Tanimoto over the
+    full n x n grid INCLUDING the diagonal (moses average_agg_tanimoto
+    aggregates each row over all stock vectors, itself included)."""
+    n = mat.shape[0]
+    if n < 2:
+        return float("nan")
+    s = np.asarray(mat.sum(axis=1)).reshape(-1)
+    total = 0.0
+    for i in range(0, n, block):
+        for j in range(0, n, block):
+            total += _block_tanimoto(
+                mat[i : i + block], mat[j : j + block], s[i : i + block],
+                s[j : j + block],
+            ).sum()
+    return float(1.0 - total / (n * n))
+
+
 def scaffold_hash(mol: MolGraph) -> str:
     """Murcko-style scaffold: iteratively prune degree-1 atoms (keeps rings
     and linkers), then WL-hash the remainder. Empty scaffold -> ''. """

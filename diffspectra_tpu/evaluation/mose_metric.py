@@ -4,17 +4,18 @@ Filters / QED / SA / logP / weight.
 Rewrite of ref evaluation/mose_metric.py:28-159. The reference consumes a
 custom moses fork + fcd_torch ChemNet (both absent here); this module:
 
-- with RDKit: sanitises to canonical SMILES like the reference and uses
-  Morgan fingerprints for SNN/IntDiv, BRICS-like fragments, Murcko
-  scaffolds, and rdkit descriptors for QED/SA-proxy/logP/weight;
+- with RDKit: sanitises to canonical SMILES like the reference; Morgan(2,
+  1024) bit fingerprints for SNN/IntDiv over the FULL sets (blockwise
+  matmuls), moses-protocol Filters + Ertl SA via filters.py, rdkit QED /
+  logP / weight;
 - without RDKit: WL-subtree fingerprints (fingerprints.py), prune-based
-  scaffolds, bond-environment fragments, exact molecular weight.
+  scaffolds, bond-environment fragments, structural-subset Filters, exact
+  molecular weight.
 
-FCD: the real metric needs the ChemNet weights; both modes compute a
-documented *proxy* — the Frechet distance between Gaussians fit to
-structural descriptor vectors — under the 'FCD' key so downstream pipelines
-run; evaluation output marks it as proxy. Filters/QED/SA/logP are NaN
-without RDKit.
+FCD: the real metric (ChemNet activations, chemnet.py) is reported under
+'FCD' when converted weights are installed, NaN otherwise; the structural
+descriptor Frechet stand-in is always reported under the separate
+'FCD_proxy' key so the two can never be conflated.
 """
 
 from __future__ import annotations
@@ -89,26 +90,59 @@ def _cos_counters(c1, c2) -> float:
     return float(np.dot(v1, v2) / denom) if denom else 0.0
 
 
-def _snn(gen_fps, ref_fps) -> float:
-    """Mean over gen of nearest-neighbour Tanimoto to the reference set,
-    averaged both ways like moses SNNMetric."""
-    if not gen_fps or not ref_fps:
+def _morgan_matrix(smiles_list):
+    """[n, 1024] uint8 Morgan(r=2) bit matrix (RDKit mode; moses' exact
+    fingerprint family for SNN/IntDiv)."""
+    from rdkit import Chem, DataStructs
+    from rdkit.Chem import AllChem
+
+    rows = []
+    for smi in smiles_list:
+        mol = Chem.MolFromSmiles(smi)
+        if mol is None:
+            continue
+        bv = AllChem.GetMorganFingerprintAsBitVect(mol, 2, nBits=1024)
+        arr = np.zeros(1024, dtype=np.uint8)
+        DataStructs.ConvertToNumpyArray(bv, arr)
+        rows.append(arr)
+    return (
+        np.stack(rows).astype(np.float32)
+        if rows
+        else np.zeros((0, 1024), np.float32)
+    )
+
+
+def _canonical_smiles(mols) -> list:
+    """Canonical SMILES of valid RDKit mols (empty without RDKit)."""
+    if not HAS_RDKIT:
+        return []
+    from rdkit import Chem
+
+    out = []
+    for m in mols:
+        if isinstance(m, MolGraph) or m is None:
+            continue
+        try:
+            Chem.SanitizeMol(m)
+            smi = Chem.MolToSmiles(m, canonical=True)
+            if smi:
+                out.append(smi)
+        except Exception:
+            continue
+    return out
+
+
+def _chemnet_fcd(gen_graphs, ptest, gen_mols) -> float:
+    """Real ChemNet FCD; NaN unless RDKit + converted weights are present
+    (chemnet.py documents the weight-installation path)."""
+    ref_smiles = ptest.get("smiles", [])
+    if not ref_smiles:
         return float("nan")
+    from .chemnet import fcd_from_smiles, load_default
 
-    def one_way(a, b):
-        return float(np.mean([max(FP.tanimoto(x, y) for y in b) for x in a]))
-
-    return 0.5 * (one_way(gen_fps, ref_fps) + one_way(ref_fps, gen_fps))
-
-
-def _internal_diversity(fps) -> float:
-    if len(fps) < 2:
+    if load_default() is None:
         return float("nan")
-    sims = []
-    for i in range(len(fps)):
-        for j in range(i + 1, len(fps)):
-            sims.append(FP.tanimoto(fps[i], fps[j]))
-    return float(1.0 - np.mean(sims))
+    return fcd_from_smiles(_canonical_smiles(gen_mols), ref_smiles)
 
 
 def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int = 2000, ptest_pool=None):
@@ -116,6 +150,7 @@ def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int =
     (ref mose_metric.py:88-128)."""
     test_graphs = _sanitize_graphs(test_mols)
     ptest = _precalc(test_graphs)
+    ptest["smiles"] = _canonical_smiles(test_mols)
 
     def moses_metrics(gen_mols, pool=None):
         gen_graphs = _sanitize_graphs(gen_mols)
@@ -123,28 +158,49 @@ def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int =
         if not gen_graphs:
             return {
                 k: float("nan")
-                for k in ("FCD", "SNN", "Frag", "Scaf", "IntDiv", "Filters",
-                          "QED", "SA", "logP", "weight")
+                for k in ("FCD", "FCD_proxy", "SNN", "Frag", "Scaf", "IntDiv",
+                          "Filters", "QED", "SA", "logP", "weight")
             }
         pgen = _precalc(gen_graphs)
 
-        # FCD proxy: Frechet distance over structural descriptors
+        # FCD_proxy: Frechet distance over structural descriptors. The 'FCD'
+        # key is reserved for the real ChemNet metric (chemnet.py) so proxy
+        # numbers can never be mistaken for published-comparable FCD.
         try:
-            metrics["FCD"] = FP.frechet_distance(pgen["desc"], ptest["desc"])
+            metrics["FCD_proxy"] = FP.frechet_distance(pgen["desc"], ptest["desc"])
         except Exception:
-            metrics["FCD"] = float("nan")
-        # cap SNN cost on huge reference sets
-        ref_fps = ptest["fps"][:2000]
-        gen_fps = pgen["fps"][:2000]
-        metrics["SNN"] = _snn(gen_fps, ref_fps)
+            metrics["FCD_proxy"] = float("nan")
+        metrics["FCD"] = _chemnet_fcd(gen_graphs, ptest, gen_mols)
+
+        # SNN / IntDiv over the FULL sets (round 1 capped at 2000/1000 —
+        # silently off-protocol; now blockwise matmuls make full sets cheap).
+        if HAS_RDKIT and ptest.get("smiles"):
+            gen_smiles = sorted(set(_canonical_smiles(gen_mols)))
+            gen_mat = _morgan_matrix(gen_smiles)
+            ref_mat = ptest.get("morgan")
+            if ref_mat is None:
+                ref_mat = _morgan_matrix(ptest["smiles"])
+                ptest["morgan"] = ref_mat
+        else:
+            vocab: dict = {}
+            ref_mat = FP.counters_to_csr(ptest["fps"], vocab)
+            gen_mat = FP.counters_to_csr(pgen["fps"], vocab)
+            # re-broadcast ref to the grown vocab width
+            if ref_mat.shape[1] != gen_mat.shape[1]:
+                ref_mat.resize((ref_mat.shape[0], gen_mat.shape[1]))
+        metrics["SNN"] = FP.snn_matrix(gen_mat, ref_mat)
+        metrics["IntDiv"] = FP.internal_diversity_matrix(gen_mat)
         metrics["Frag"] = _cos_counters(pgen["frag"], ptest["frag"])
         metrics["Scaf"] = _cos_counters(pgen["scaf"], ptest["scaf"])
-        metrics["IntDiv"] = _internal_diversity(gen_fps[:1000])
 
         if HAS_RDKIT:
             metrics.update(_rdkit_properties(gen_mols))
         else:
-            metrics["Filters"] = float("nan")
+            from .filters import mol_passes_filters_graph
+
+            metrics["Filters"] = float(
+                np.mean([mol_passes_filters_graph(m) for m in gen_graphs])
+            )
             metrics["QED"] = float("nan")
             metrics["SA"] = float("nan")
             metrics["logP"] = float("nan")
@@ -157,21 +213,25 @@ def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int =
 
 
 def get_fcd_metric(test_mols, **kwargs):
-    """FCD-only factory (ref mose_metric.py:131-154)."""
+    """FCD-only factory (ref mose_metric.py:131-154): real ChemNet FCD when
+    weights are installed (chemnet.py), descriptor proxy under FCD_proxy."""
     test_graphs = _sanitize_graphs(test_mols)
-    ptest_desc = (
-        np.stack([FP.descriptor_vector(m) for m in test_graphs])
+    ptest = {
+        "desc": np.stack([FP.descriptor_vector(m) for m in test_graphs])
         if test_graphs
-        else np.zeros((0, 12))
-    )
+        else np.zeros((0, 12)),
+        "smiles": _canonical_smiles(test_mols),
+    }
 
     def fcd_metric(gen_mols, pool=None):
         gen_graphs = _sanitize_graphs(gen_mols)
+        out = {"FCD": _chemnet_fcd(gen_graphs, ptest, gen_mols)}
         try:
             desc = np.stack([FP.descriptor_vector(m) for m in gen_graphs])
-            return {"FCD": FP.frechet_distance(desc, ptest_desc)}
+            out["FCD_proxy"] = FP.frechet_distance(desc, ptest["desc"])
         except Exception:
-            return {"FCD": float("nan")}
+            out["FCD_proxy"] = float("nan")
+        return out
 
     return fcd_metric
 
@@ -180,21 +240,28 @@ def _rdkit_properties(gen_mols) -> dict:
     from rdkit import Chem
     from rdkit.Chem import Crippen, Descriptors, QED
 
-    qeds, logps, weights = [], [], []
+    from .filters import mol_passes_filters_rdkit, sa_score
+
+    qeds, sas, logps, weights, passes = [], [], [], [], []
     for mol in gen_mols:
         if isinstance(mol, MolGraph) or mol is None:
             continue
         try:
             Chem.SanitizeMol(mol)
+        except Exception:
+            continue
+        passes.append(mol_passes_filters_rdkit(mol))
+        try:
             qeds.append(QED.qed(mol))
+            sas.append(sa_score(mol))
             logps.append(Crippen.MolLogP(mol))
             weights.append(Descriptors.MolWt(mol))
         except Exception:
             continue
     return {
-        "Filters": float("nan"),  # moses MCF/PAINS lists not vendored
+        "Filters": float(np.mean(passes)) if passes else float("nan"),
         "QED": float(np.mean(qeds)) if qeds else float("nan"),
-        "SA": float("nan"),  # sascorer table not vendored
+        "SA": float(np.nanmean(sas)) if sas else float("nan"),
         "logP": float(np.mean(logps)) if logps else float("nan"),
         "weight": float(np.mean(weights)) if weights else float("nan"),
     }

@@ -504,7 +504,10 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
                     rdkit_res["Validity"], rdkit_res["Complete"],
                 )
                 mose_res = mose_metric(sample_mols)
-                logging.info("Metric-3D || FCD: %.4f", mose_res["FCD"])
+                logging.info(
+                    "Metric-3D || FCD: %.4f (FCD_proxy: %.4f)",
+                    mose_res["FCD"], mose_res["FCD_proxy"],
+                )
             else:
                 sample_mols = []
 
@@ -519,10 +522,16 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
             )
             mose_res = mose_metric(complete_mols)
             logging.info(
-                "Metric-2D || FCD: %.4f, SNN: %.4f, Frag: %.4f, Scaf: %.4f, "
-                "IntDiv: %.4f",
-                mose_res["FCD"], mose_res["SNN"], mose_res["Frag"],
-                mose_res["Scaf"], mose_res["IntDiv"],
+                "Metric-2D || FCD: %.4f (FCD_proxy: %.4f), SNN: %.4f, "
+                "Frag: %.4f, Scaf: %.4f, IntDiv: %.4f",
+                mose_res["FCD"], mose_res["FCD_proxy"], mose_res["SNN"],
+                mose_res["Frag"], mose_res["Scaf"], mose_res["IntDiv"],
+            )
+            logging.info(
+                "Metric-2D || Filters: %.4f, QED: %.4f, SA: %.4f, "
+                "logP: %.4f, weight: %.4f",
+                mose_res["Filters"], mose_res["QED"], mose_res["SA"],
+                mose_res["logP"], mose_res["weight"],
             )
 
             if config.eval.sub_geometry:

@@ -174,7 +174,9 @@ def test_mose_metrics_run():
     res = metric([g] * 3)
     assert res["SNN"] == pytest.approx(1.0)
     assert res["Frag"] == pytest.approx(1.0)
-    assert np.isfinite(res["FCD"])
+    # proxy rides its own key; 'FCD' is NaN until ChemNet weights installed
+    assert np.isfinite(res["FCD_proxy"])
+    assert np.isnan(res["FCD"])
     assert res["weight"] == pytest.approx(16.043, abs=0.01)
 
 
