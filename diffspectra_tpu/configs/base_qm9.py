@@ -1,7 +1,11 @@
 """Auxiliary original-QM9 config (ref configs/base_qm9.py:7-121), passed as
-``--config_original_qm9``. The reference uses it only to load train/test
-rdmols for the metric reference sets (ref run_lib.py:340-342); here the same
-role is served against the packed dataset store."""
+``--config_original_qm9``. Like the reference, it is used only to load the
+train/test molecules for the metric reference sets (ref run_lib.py:340-342):
+``exp_type='vpsde_edge_cond'`` selects the original-QM9 split
+(data/pipeline.py:_original_splits) instead of the conditional 4-way split,
+so novelty / moses statistics are computed against the same distribution the
+reference uses. When the flag is omitted, run_lib falls back to the
+conditional-split dataset and logs the deviation."""
 
 try:
     from . import diffspectra_qm9s

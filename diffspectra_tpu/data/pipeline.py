@@ -58,11 +58,29 @@ def _conditional_splits(rng: np.ndarray, size: int):
     return first, second, val, test
 
 
+def _original_splits(rng: np.ndarray, size: int):
+    """Original-QM9 split (ref qm9s_dataset.py:279-304): 100k/130831 train,
+    10% test, remainder val — scaled proportionally to `size`.  Used by the
+    ``vpsde_edge_cond`` exp_type (the --config_original_qm9 auxiliary
+    dataset whose train/test mols seed the metric reference sets, ref
+    run_lib.py:340-342)."""
+    perm = rng.permutation(size)
+    n_train = max(1, int(size * 100000 / 130831))
+    n_test = max(1, int(size * 0.1))
+    train = perm[:n_train]
+    test = perm[n_train : n_train + n_test]
+    val = perm[n_train + n_test :]
+    return train, train, val, test
+
+
 def get_dataset(config, transform: bool = True):
     """Build (first_train, second_train, val, test, dataset_info)
-    (ref build_dataset.py:13-49; conditional split path)."""
+    (ref build_dataset.py:13-49). ``exp_type='diffspectra'`` -> 4-way
+    conditional split; anything else -> the original-QM9 split (first and
+    second both alias the full train set)."""
     dataset_info = get_dataset_info(config.data.info_name)
     max_n = config.data.max_node
+    conditional = config.get("exp_type", "diffspectra") == "diffspectra"
 
     if config.data.get("synthetic", False):
         raw = generate_synthetic(
@@ -70,12 +88,21 @@ def get_dataset(config, transform: bool = True):
             info_name=config.data.info_name,
         )
         split_rng = np.random.default_rng(config.seed)
-        first, second, val, test = _conditional_splits(split_rng, len(raw["num_atom"]))
+        split_fn = _conditional_splits if conditional else _original_splits
+        first, second, val, test = split_fn(split_rng, len(raw["num_atom"]))
     else:
         from .qm9s import load_qm9s  # lazy: touches the filesystem
 
         raw, splits = load_qm9s(config.data.root, max_n=max_n)
-        first, second, val, test = splits
+        if conditional:
+            first, second, val, test = splits
+        else:
+            # the original-QM9 split is a dataset artifact (fixed seeded
+            # permutation, ref qm9s_dataset.py:279-304), independent of the
+            # conditional split file and of config.seed
+            first, second, val, test = _original_splits(
+                np.random.default_rng(42), len(raw["num_atom"])
+            )
 
     if transform:
         arrays = edge_com_spectra_transform(

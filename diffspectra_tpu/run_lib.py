@@ -461,11 +461,25 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
     )
 
     atom_decoder = dataset_info["atom_decoder"]
+    # Metric reference sets come from the ORIGINAL-QM9 dataset when the
+    # second config is provided (ref run_lib.py:340-342: train mols seed
+    # novelty, test mols seed the moses statistics); without it, fall back
+    # to the conditional-split dataset — logged so eval output states which
+    # protocol produced the numbers.
+    if config_original_qm9 is not None:
+        logging.info("metric reference sets: original-QM9 (--config_original_qm9)")
+        _, ref_train_ds, _, ref_test_ds, _ = get_dataset(config_original_qm9)
+    else:
+        logging.info(
+            "metric reference sets: conditional-split dataset "
+            "(no --config_original_qm9 given)"
+        )
+        ref_train_ds, ref_test_ds = second_train_ds, test_ds
     logging.info("loading training mols")
-    train_rows = second_train_ds.take(np.arange(len(second_train_ds)))
+    train_rows = ref_train_ds.take(np.arange(len(ref_train_ds)))
     train_graphs = _rows_to_molgraphs(train_rows, atom_decoder)
     logging.info("loading test mols")
-    test_rows = test_ds.take(np.arange(len(test_ds)))
+    test_rows = ref_test_ds.take(np.arange(len(ref_test_ds)))
     test_graphs = _rows_to_molgraphs(test_rows, atom_decoder)
 
     edm_metric = get_edm_metric(dataset_info, train_graphs)

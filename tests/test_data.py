@@ -159,3 +159,26 @@ def test_visualize_writes_xyz(tmp_path):
     content = open(tmp_path / "mol_0.xyz").read()
     assert content.startswith("2\n")
     assert "C 0.000000" in content
+
+
+def test_original_qm9_split():
+    """exp_type != 'diffspectra' selects the original-QM9 split: full train
+    (first is second), ~10% test (ref qm9s_dataset.py:279-304)."""
+    from diffspectra_tpu.configs import smoke
+    from diffspectra_tpu.data import get_dataset
+
+    cfg = smoke.get_config()
+    cfg.exp_type = "vpsde_edge_cond"
+    first, second, val, test = get_dataset(cfg)[:4]
+    size = len(first) + len(val) + len(test)
+    assert len(first) == len(second)
+    assert (first.indices == second.indices).all()
+    # train fraction ~ 100000/130831, test ~ 10%
+    assert abs(len(first) / size - 100000 / 130831) < 0.02
+    assert abs(len(test) / size - 0.1) < 0.02
+
+    cfg2 = smoke.get_config()
+    cond_first, cond_second = get_dataset(cfg2)[:2]
+    assert len(cond_first.indices) != len(first.indices) or (
+        cond_first.indices != first.indices
+    ).any()

@@ -44,7 +44,12 @@ def test_end_to_end_train_and_eval(tmp_path):
     # samples visualised
     assert os.path.isdir(os.path.join(workdir, "samples", "iter_6"))
 
-    run_lib.evaluate(cfg, None, workdir, "eval")
+    # eval with the auxiliary original-QM9 config: the metric reference
+    # sets must come from its (original-split) dataset, ref run_lib.py:340-342
+    cfg_qm9 = smoke.get_config()
+    cfg_qm9.update(cfg)
+    cfg_qm9.exp_type = "vpsde_edge_cond"
+    run_lib.evaluate(cfg, cfg_qm9, workdir, "eval")
     eval_dir = os.path.join(workdir, "eval")
     # evaluation completed; similarity CSVs only appear when the barely
     # trained model emits valence-valid molecules (same gating as the
