@@ -97,6 +97,15 @@ def _install_pyg_unpickle_shims():
                 return mapping[key]
             raise AttributeError(key)
 
+    # proper module/qualname so the shims also PICKLE under the PyG paths
+    # (lets tests write miniature processed files through the same classes)
+    _ShimData.__module__ = "torch_geometric.data.data"
+    _ShimData.__qualname__ = "Data"
+    _ShimData.__name__ = "Data"
+    _ShimStorage.__module__ = "torch_geometric.data.storage"
+    _ShimStorage.__qualname__ = "GlobalStorage"
+    _ShimStorage.__name__ = "GlobalStorage"
+
     mods = {
         "torch_geometric": types.ModuleType("torch_geometric"),
         "torch_geometric.data": types.ModuleType("torch_geometric.data"),
@@ -143,8 +152,17 @@ def pack_from_pyg(root: str, max_n: int = 29):
         out["pos"][m, :n] = data.pos[a0:a1].numpy()
         out["fc"][m, :n] = data.fc[a0:a1].numpy() if hasattr(data, "fc") else 0
         e0, e1 = edge_sl[m], edge_sl[m + 1]
-        ei = data.edge_index[:, e0:e1].numpy()
+        # PyG's InMemoryDataset collate stores edge_index with GLOBAL node
+        # offsets (cumulative across molecules); separate() subtracts the
+        # molecule's first-node offset, and so must we (ref
+        # qm9s_dataset.py:195-277 builds per-mol local indices pre-collate).
+        ei = data.edge_index[:, e0:e1].numpy() - a0
         et = data.edge_type[e0:e1].numpy()
+        if ei.size and (ei.min() < 0 or ei.max() >= n):
+            raise ValueError(
+                f"molecule {m}: edge_index outside [0,{n}) after offset "
+                f"removal — unexpected processed-file layout"
+            )
         out["edge_type"][m, ei[0], ei[1]] = et
         for key in ("uv", "ir", "raman"):
             spec = getattr(data, key)[m].numpy().reshape(-1)
