@@ -92,10 +92,30 @@ class DeviceStore:
         self.shard_size = (m + pad) // self.n_dev
         if mesh is None:
             self._arrays = jax.device_put(store)
-        else:
+        elif jax.process_count() == 1:
             self._arrays = jax.device_put(
                 store, NamedSharding(mesh, P(axis_name))
             )
+        else:
+            # multi-host: every process holds the full host copy (the split
+            # fits host RAM by construction) but uploads ONLY the rows its
+            # addressable devices own — row block i belongs to the device at
+            # flat mesh position i (P(axis_name) over axis 0).
+            sharding = NamedSharding(mesh, P(axis_name))
+            flat = list(mesh.devices.flat)
+            local_pos = [
+                i for i, d in enumerate(flat)
+                if d.process_index == jax.process_index()
+            ]
+            sh = self.shard_size
+
+            def upload(v):
+                local = np.concatenate(
+                    [v[i * sh : (i + 1) * sh] for i in local_pos], axis=0
+                )
+                return jax.make_array_from_process_local_data(sharding, local)
+
+            self._arrays = {k: upload(v) for k, v in store.items()}
 
     def __len__(self):
         return int(self._arrays["num_atom"].shape[0])
@@ -155,6 +175,26 @@ def build_batch(
         edge_mask=edge_mask,
         context=spectra if len(spectra) > 1 else spectra[0],
     )
+
+
+def global_index_array(mesh, idx: np.ndarray, axis_name: str = "data"):
+    """Device form of a replicated-consistent host index vector for the
+    sharded store step. Single-process: plain upload (jit shards it).
+    Multi-host: every process holds the SAME global [n_dev * B] vector
+    (seeded iterators), so each uploads just its addressable blocks."""
+    if jax.process_count() == 1:
+        return jnp.asarray(idx)
+    sharding = NamedSharding(mesh, P(axis_name))
+    flat = list(mesh.devices.flat)
+    per = idx.shape[0] // len(flat)
+    local = np.concatenate(
+        [
+            idx[i * per : (i + 1) * per]
+            for i, d in enumerate(flat)
+            if d.process_index == jax.process_index()
+        ]
+    )
+    return jax.make_array_from_process_local_data(sharding, local)
 
 
 def index_iterator(

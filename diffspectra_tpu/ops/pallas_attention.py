@@ -117,11 +117,15 @@ def mix_attention_reference(q, k, v, edge_attr, w0, w1, extra, edge_mask,
 
 
 def mix_attention(q, k, v, edge_attr, w0, w1, extra, edge_mask, *,
-                  set_inf=True, batch_tile: int = 8, interpret=False):
+                  set_inf=True, batch_tile: int = 2, interpret=False):
     """Fused mixed attention. Shapes:
     q,k [B,N,E,sc] / v [B,N,H,C] / edge_attr [B,N,N,De] / w0 [De,E*sc] /
     w1 [De,H*C] / extra [B,N,N,n_extra] / edge_mask [B,N,N]
     -> [B, N, H*C] (f32).
+
+    batch_tile=2 keeps the per-tile live set ~10.6MB under the 16MB v5e
+    VMEM budget (PALLAS.md VMEM table); r1's tile of 8 was
+    interpret-mode-tuned and over budget on hardware.
     """
     B, N, n_sub, sub_c = q.shape
     n_heads, out_ch = v.shape[2], v.shape[3]

@@ -38,6 +38,22 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params / train state) across the mesh."""
+    """Replicate a pytree (params / train state) across the mesh.
+
+    Multi-host: states are replicated-consistent by construction (same init
+    seed / restored checkpoint on every process), so build the global arrays
+    from process-local data directly — jax.device_put's cross-process
+    equality assert mishandles python-scalar leaves (EMA decay et al.)."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree
+        )
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )

@@ -140,20 +140,23 @@ def _augment_config(config):
 
 
 def _sampling_mesh(mesh, batch_size):
-    """Mesh for the sampling fan-out, or None when it can't apply: single
-    device, indivisible batch (graceful single-device fallback instead of a
-    hard assert), or multi-host (the host decode gathers shard_map outputs
-    that would span non-addressable devices)."""
+    """(mesh_or_none, batch): mesh for the sampling fan-out plus the batch
+    size to run it at. An indivisible batch is rounded DOWN to the nearest
+    multiple of the device count (keeping the n-times fan-out; round 1
+    silently fell back to single-device, an 8x eval slowdown). None when the
+    fan-out can't apply: single device, or multi-host (the host decode
+    gathers shard_map outputs that would span non-addressable devices)."""
     n = mesh.devices.size
     if n <= 1 or jax.process_count() > 1:
-        return None
+        return None, batch_size
     if batch_size % n != 0:
+        adjusted = max(n, (batch_size // n) * n)
         logging.info(
-            "sampling mesh fan-out disabled: batch %d not divisible over %d "
-            "devices; running single-device", batch_size, n,
+            "sampling batch %d not divisible over %d devices; running the "
+            "fan-out at batch %d", batch_size, n, adjusted,
         )
-        return None
-    return mesh
+        return mesh, adjusted
+    return mesh, batch_size
 
 
 def _maybe_init_distributed():
@@ -242,15 +245,15 @@ def diffspectra_train(config, config_original_qm9, workdir):
     # collated batch (see data/device_store.py for the trade-offs). Under a
     # mesh, rows are sharded over the data axis — each chip holds 1/n_dev of
     # the split and assembles its batch from the local shard inside
-    # shard_map (shard-local shuffling). Bucketed padding and multi-host
-    # stay on the host pipeline (buckets need a global n_pad per step;
-    # multi-host needs per-process shard uploads — ROADMAP).
+    # shard_map (shard-local shuffling). Multi-host uploads per-process
+    # shards (device_store.py). Bucketed padding stays on the host pipeline
+    # under a mesh (buckets need a per-step static n_pad recompile schedule).
     store_bytes = device_store.estimate_bytes(second_train_ds, spectra_version)
     use_device_store = (
         config.data.get("device_resident", True)
         and store_bytes // n_dev
         <= config.data.get("device_store_max_bytes", 6_000_000_000)
-        and not (use_mesh and (bucket_sizes or jax.process_count() > 1))
+        and not (use_mesh and bucket_sizes)
     )
     if use_device_store:
         store = device_store.DeviceStore(
@@ -287,7 +290,10 @@ def diffspectra_train(config, config_original_qm9, workdir):
             )
 
             def store_step(state, arrays, idx, rng, n_pad=0):
-                return store_pstep(state, arrays, idx, rng)
+                return store_pstep(
+                    state, arrays, device_store.global_index_array(mesh, idx),
+                    rng,
+                )
 
             def make_idx_iter(epoch):
                 return (
@@ -320,11 +326,13 @@ def diffspectra_train(config, config_original_qm9, workdir):
         )
 
     if config.training.snapshot_sampling:
+        snap_mesh, snap_batch = _sampling_mesh(
+            mesh, config.training.eval_batch_size
+        )
         snapshot_sampling_fn = make_cond_sampling_fn(
-            config, _inference_model(config), noise_scheduler,
-            config.training.eval_batch_size,
+            config, _inference_model(config), noise_scheduler, snap_batch,
             config.training.eval_samples, inverse_scaler, val_ds, fixed_seed=None,
-            mesh=_sampling_mesh(mesh, config.training.eval_batch_size),
+            mesh=snap_mesh,
         )
         edm_metric = get_edm_metric(dataset_info)
         edm_metric_2d = get_2D_edm_metric(dataset_info)
@@ -346,8 +354,10 @@ def diffspectra_train(config, config_original_qm9, workdir):
         rng, k_step = jax.random.split(rng)
         if use_device_store:
             n_pad, idx = next(idx_iter)
+            # idx conversion happens inside store_step (the mesh variant
+            # builds a per-process sharded array under multi-host)
             state, loss = store_step(
-                state, store_arrays, jnp.asarray(idx), k_step, n_pad=n_pad
+                state, store_arrays, idx, k_step, n_pad=n_pad
             )
         else:
             batch = next(train_iter)
@@ -453,11 +463,12 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
     # fan the sweep out over the mesh when more than one chip is visible
     # (SURVEY §2.12: per-chip reverse-diffusion shards, host gather)
     eval_mesh = create_mesh(config.training.num_devices)
+    fan_mesh, fan_batch = _sampling_mesh(eval_mesh, config.eval.batch_size)
     sampling_fn = make_cond_sampling_fn(
-        config, _inference_model(config), noise_scheduler, config.eval.batch_size,
+        config, _inference_model(config), noise_scheduler, fan_batch,
         config.eval.num_samples, inverse_scaler, test_ds, fixed_seed=42,
         sampling_temperature=config.eval.sampling_temperature,
-        mesh=_sampling_mesh(eval_mesh, config.eval.batch_size),
+        mesh=fan_mesh,
     )
 
     atom_decoder = dataset_info["atom_decoder"]
@@ -565,8 +576,11 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
             # target i comes from sweep k's position i.
             num_candidates = int(config.eval.get("num_candidates", 1))
             if num_candidates > 1:
-                cand_3d = [[m] for m in sample_mols]
-                cand_2d = [[m] for m in complete_mols]
+                # hits tracked per target incrementally: memory is O(targets)
+                # booleans, not O(K x targets) candidate molecules (at 10k
+                # targets x K=10 the old candidate lists dominated host RAM)
+                hit_3d = [cm._exact_match(t, m) for t, m in zip(gt_graphs, sample_mols)]
+                hit_2d = [cm._exact_match(t, m) for t, m in zip(gt_graphs, complete_mols)]
                 for extra in range(num_candidates - 1):
                     logging.info(
                         "Top-K candidate sweep %d/%d", extra + 2, num_candidates
@@ -575,19 +589,24 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
                     extra_processed, _, _ = sampling_fn(host_ema_vars, k_extra)
                     if not config.only_2D:
                         _, _, extra_3d = edm_metric(extra_processed)
-                        for lst, m in zip(cand_3d, extra_3d):
-                            lst.append(m)
+                        hit_3d = [
+                            h or cm._exact_match(t, m)
+                            for h, t, m in zip(hit_3d, gt_graphs, extra_3d)
+                        ]
                     _, _, extra_2d = edm_metric_2d(extra_processed)
-                    for lst, m in zip(cand_2d, extra_2d):
-                        lst.append(m)
+                    hit_2d = [
+                        h or cm._exact_match(t, m)
+                        for h, t, m in zip(hit_2d, gt_graphs, extra_2d)
+                    ]
+                n_valid = max(sum(1 for t in gt_graphs if t is not None), 1)
                 if not config.only_2D:
                     logging.info(
                         "Top-%d accuracy || 3D: %.4f", num_candidates,
-                        cm.top_k_exact_match(gt_graphs, cand_3d),
+                        sum(hit_3d) / n_valid,
                     )
                 logging.info(
                     "Top-%d accuracy || 2D: %.4f", num_candidates,
-                    cm.top_k_exact_match(gt_graphs, cand_2d),
+                    sum(hit_2d) / n_valid,
                 )
 
             cm.compute_similarity_metrics(
