@@ -89,6 +89,10 @@ def get_config():
     model.remat_policy = "full"
     # bf16 SpecFormer compute inside the DMT graph (see models/dmt.py gate)
     model.specformer_bf16 = False
+    # encode the spectra ONCE per train step and share the embedding across
+    # the self-conditioning double forward (losses._maybe_reuse_context);
+    # False = reference semantics (SpecFormer re-runs inside each forward)
+    model.reuse_cond_emb = False
     model.patch_len = [20, 50, 50]
     model.stride = [10, 25, 25]
     # loss

@@ -597,6 +597,67 @@ class DMT(nn.Module):
         return jnp.concatenate([pos, atom_pred], axis=2), edge_final
 
 
+def encode_context_train(model, params, batch_stats, context, rng):
+    """Train-mode spectra encoding for the self-conditioning double call.
+
+    Applies ``cond_encoder`` (SpecFormer) + ``cond_lin`` ONCE, in train mode
+    (dropout active, BatchNorm statistics updated), on their parameter
+    subtrees, so the loss can share one embedding between the no-grad
+    self-conditioning forward and the main forward instead of running
+    SpecFormer inside both (the reference's two train-mode forwards each
+    re-encode the identical spectra, ref losses.py:341-354 — the only
+    semantic difference here is one BatchNorm running-stats update per step
+    instead of two identical ones, and decorrelated dropout draws).
+
+    Gradients flow: this is a pure function of ``params``, called inside the
+    loss, so the encoder trains end-to-end exactly as before.
+
+    Returns ``(ctx_emb [B, time_dim], new_batch_stats)`` where
+    ``new_batch_stats`` is ``batch_stats`` with the ``cond_encoder`` subtree
+    replaced by the mutated statistics.
+    """
+    hidden = getattr(model, "hidden_dim", None) or getattr(model, "nf")
+    spec = SpecFormer(
+        patch_len=model.patch_len,
+        stride=model.stride,
+        output_dim=hidden,
+        spectra_version=model.spectra_version,
+        dtype=(
+            model.dtype
+            if getattr(model, "specformer_bf16", False)
+            else jnp.float32
+        ),
+    )
+    sub = {"params": params["cond_encoder"]}
+    if batch_stats and "cond_encoder" in batch_stats:
+        sub["batch_stats"] = batch_stats["cond_encoder"]
+    ctx, mut = spec.apply(
+        sub, context, deterministic=False,
+        rngs={"dropout": rng}, mutable=["batch_stats"],
+    )
+    lin = params["cond_lin"]
+    ctx_emb = ctx @ lin["kernel"] + lin["bias"]
+    new_stats = dict(batch_stats) if batch_stats else {}
+    if "batch_stats" in mut:
+        new_stats["cond_encoder"] = mut["batch_stats"]
+    return ctx_emb, new_stats
+
+
+def merge_encoder_stats(model_stats, encoder_stats):
+    """Recombine batch statistics after a ``context_emb`` model call.
+
+    When the model is called with a precomputed ``context_emb`` its
+    SpecFormer submodule never executes, so (depending on the flax version's
+    mutable-collection semantics) the returned ``batch_stats`` may carry a
+    stale or missing ``cond_encoder`` subtree; overwrite it with the stats
+    the out-of-graph encoder produced.
+    """
+    merged = dict(model_stats) if model_stats else {}
+    if encoder_stats and "cond_encoder" in encoder_stats:
+        merged["cond_encoder"] = encoder_stats["cond_encoder"]
+    return merged
+
+
 def encode_context(model: DMT, variables, context, deterministic: bool = True):
     """Precompute the spectra conditioning embedding ``[B, time_dim]``.
 

@@ -25,7 +25,12 @@ def init(params, decay: float, use_num_updates: bool = True) -> EMAState:
     return EMAState(
         decay=decay,
         num_updates=jnp.asarray(0 if use_num_updates else -1, jnp.int32),
-        shadow_params=jax.tree_util.tree_map(jnp.asarray, params),
+        # materialize a DISTINCT buffer per leaf (jnp.asarray would alias
+        # params, and the train step donates the whole state — donating the
+        # same buffer via both params and shadow_params is an XLA error)
+        shadow_params=jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x).copy(), params
+        ),
     )
 
 

@@ -24,7 +24,10 @@ def make_parallel_train_step(step_fn, mesh: Mesh, axis_name: str = "data"):
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # donate the train state: params/opt/EMA buffers are rewritten every
+    # step, and the aliasing saves a full state copy (~4x params bytes of
+    # HBM traffic) per step
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_parallel_store_step(store_step, mesh: Mesh, axis_name: str = "data"):
@@ -40,7 +43,7 @@ def make_parallel_store_step(store_step, mesh: Mesh, axis_name: str = "data"):
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 # Sampling fan-out over the mesh lives in sampling/harness.py

@@ -228,7 +228,12 @@ def diffspectra_train(config, config_original_qm9, workdir):
         step_fn = make_parallel_train_step(axis_step, mesh)
         state = replicate(mesh, state)
     else:
-        step_fn = jax.jit(get_step_fn(noise_scheduler, model, tx, scaler, config))
+        # donate the train state (params/opt/EMA are rewritten every step;
+        # aliasing saves a full state copy of HBM traffic per step)
+        step_fn = jax.jit(
+            get_step_fn(noise_scheduler, model, tx, scaler, config),
+            donate_argnums=(0,),
+        )
 
     aug_rot, aug_trans = _augment_config(config)
 
@@ -304,7 +309,9 @@ def diffspectra_train(config, config_original_qm9, workdir):
                     )
                 )
         else:
-            @partial(jax.jit, static_argnames="n_pad")
+            @partial(
+                jax.jit, static_argnames="n_pad", donate_argnums=(0,)
+            )
             def store_step(state, arrays, idx, rng, n_pad=0):
                 k_aug, k_step = jax.random.split(rng)
                 return base_step(state, _assemble(arrays, idx, k_aug, n_pad), k_step)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..ops.kabsch import get_align_noise, get_align_position, get_align_position_v2
 from ..utils import masks as M
+from ..models.dmt import merge_encoder_stats
 from ..utils.scalers import get_self_cond_fn
 
 T_EPS = 1e-5
@@ -83,6 +84,29 @@ def process_batch_2d(batch, scaler, include_charges: bool = True):
     return xh, edge_type, node_mask, edge_mask, context
 
 
+def _maybe_reuse_context(apply_fn, batch_stats, context, rng):
+    """Hoist the spectra encoding out of the self-conditioning double call.
+
+    When the step factory attached a train-mode encoder to ``apply_fn``
+    (``config.model.reuse_cond_emb``) and the batch carries spectra, encode
+    them ONCE here and hand both model forwards the precomputed
+    ``context_emb`` — the reference re-runs SpecFormer inside each of its two
+    train-mode forwards on identical input (ref losses.py:341-354); one
+    encode per step is the TPU-cheap equivalent (see
+    ``models.dmt.encode_context_train`` for the exact semantics delta).
+
+    Returns ``(context_arg, context_emb, batch_stats, rng)`` where
+    ``context_arg`` is what to pass as the model's ``context`` (``None`` when
+    the embedding path is active).
+    """
+    encode = getattr(apply_fn, "encode", None)
+    if encode is None or context is None:
+        return context, None, batch_stats, rng
+    rng, k_enc = jax.random.split(rng)
+    ctx_emb, new_stats = encode(k_enc, batch_stats, context)
+    return None, ctx_emb, new_stats, rng
+
+
 def get_sde_graph_loss_fn(noise_scheduler, scaler, config):
     """Joint 3D + edge loss (ref losses.py:286-396).
 
@@ -145,12 +169,20 @@ def get_sde_graph_loss_fn(noise_scheduler, scaler, config):
 
         noise_level = jnp.log(alpha_t**2 / sigma_t**2)
 
+        context_arg, ctx_emb, batch_stats, rng = _maybe_reuse_context(
+            apply_fn, batch_stats, context, rng
+        )
+
         def call_model(r, stats, cond_x, cond_edge_x, has_cond):
-            return apply_fn(
-                r, stats, t, z_t, node_mask, edge_mask, context,
+            out, stats = apply_fn(
+                r, stats, t, z_t, node_mask, edge_mask, context_arg,
                 edge_x=edge_z_t, noise_level=noise_level,
                 cond_x=cond_x, cond_edge_x=cond_edge_x, has_cond=has_cond,
+                context_emb=ctx_emb,
             )
+            if ctx_emb is not None:
+                stats = merge_encoder_stats(stats, batch_stats)
+            return out, stats
 
         if self_cond:
             assert pred_data
@@ -256,12 +288,20 @@ def get_sde_2d_loss_fn(noise_scheduler, scaler, config):
         edge_z_t = a[..., None] * edge_x + s[..., None] * edge_noise
         noise_level = jnp.log(alpha_t**2 / sigma_t**2)
 
+        context_arg, ctx_emb, batch_stats, rng = _maybe_reuse_context(
+            apply_fn, batch_stats, context, rng
+        )
+
         def call_model(r, stats, cond_x, cond_edge_x, has_cond):
-            return apply_fn(
-                r, stats, t, z_t, node_mask, edge_mask, context,
+            out, stats = apply_fn(
+                r, stats, t, z_t, node_mask, edge_mask, context_arg,
                 edge_x=edge_z_t, noise_level=noise_level,
                 cond_x=cond_x, cond_edge_x=cond_edge_x, has_cond=has_cond,
+                context_emb=ctx_emb,
             )
+            if ctx_emb is not None:
+                stats = merge_encoder_stats(stats, batch_stats)
+            return out, stats
 
         if self_cond:
             assert pred_data

@@ -12,6 +12,7 @@ import jax
 import optax
 
 from ..models import ema as ema_lib
+from ..models.dmt import encode_context_train
 from .losses import (
     get_sde_2d_loss_fn,
     get_sde_graph_loss_fn,
@@ -62,6 +63,15 @@ def get_step_fn(
     (ref models/utils.py:27).
     """
     loss_fn = make_loss_fn(noise_scheduler, scaler, config)
+    # one spectra encode per step, shared by the self-conditioning double
+    # call (see losses._maybe_reuse_context); only meaningful with self_cond
+    # and a SpecFormer-conditioned model
+    reuse_cond_emb = bool(
+        train
+        and config.model.self_cond
+        and config.model.get("reuse_cond_emb", False)
+        and hasattr(model, "patch_len")
+    )
 
     def train_step(state: TrainState, batch, rng):
         if axis_name is not None:
@@ -70,6 +80,11 @@ def get_step_fn(
 
         def loss_wrapped(params):
             apply_fn = _make_apply_fn(model, params, train=True)
+            if reuse_cond_emb:
+                def encode(r, stats, context):
+                    return encode_context_train(model, params, stats, context, r)
+
+                apply_fn.encode = encode
             return loss_fn(apply_fn, state.batch_stats, batch, rng)
 
         (loss, new_stats), grads = jax.value_and_grad(loss_wrapped, has_aux=True)(

@@ -155,6 +155,86 @@ def test_train_step_remat_dots_policy():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_reuse_cond_emb_matches_in_graph_encoding():
+    """The hoisted train-mode spectra encode (models.dmt.encode_context_train)
+    must be bit-compatible with the in-graph SpecFormer path: same model
+    output AND the same BatchNorm statistics update (dropout is 0 inside the
+    DMT's SpecFormer, so the only train-mode mutation is batch_stats)."""
+    from diffspectra_tpu.models.dmt import encode_context_train
+
+    cfg = small_config()
+    batch = make_batch(jax.random.PRNGKey(1), cfg)
+    model, state, _ = init_everything(cfg, batch)
+
+    n = cfg.data.max_node
+    bs = batch["positions"].shape[0]
+    t = jnp.full((bs,), 0.5)
+    xh = jax.random.normal(jax.random.PRNGKey(5), (bs, n, 9))
+    edge_x = M.sample_symmetric_edge_feature_noise(
+        jax.random.PRNGKey(6), bs, n, 2, batch["edge_mask"]
+    )
+    nl = jnp.zeros((bs,))
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    (out_a, edge_a), mut_a = model.apply(
+        variables, t, xh, batch["atom_mask"][..., None], batch["edge_mask"],
+        batch["context"], edge_x=edge_x, noise_level=nl,
+        deterministic=False, rngs={"dropout": jax.random.PRNGKey(7)},
+        mutable=["batch_stats"],
+    )
+    ctx_emb, enc_stats = encode_context_train(
+        model, state.params, state.batch_stats, batch["context"],
+        jax.random.PRNGKey(8),
+    )
+    (out_b, edge_b), mut_b = model.apply(
+        variables, t, xh, batch["atom_mask"][..., None], batch["edge_mask"],
+        None, edge_x=edge_x, noise_level=nl, context_emb=ctx_emb,
+        deterministic=False, rngs={"dropout": jax.random.PRNGKey(7)},
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(edge_a), np.asarray(edge_b), atol=1e-5)
+    a_stats = jax.tree_util.tree_leaves(mut_a["batch_stats"]["cond_encoder"])
+    b_stats = jax.tree_util.tree_leaves(enc_stats["cond_encoder"])
+    assert len(a_stats) == len(b_stats) and len(a_stats) > 0
+    for pa, pb in zip(a_stats, b_stats):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+
+def test_reuse_cond_emb_train_step_grads_encoder():
+    """With model.reuse_cond_emb the spectra encoder runs OUTSIDE the model
+    graph; gradients must still reach its parameters and its BatchNorm
+    statistics must still advance, else the encoder silently stops training."""
+    cfg = small_config()
+    cfg.model.self_cond = True
+    cfg.model.reuse_cond_emb = True
+    batch = make_batch(jax.random.PRNGKey(1), cfg)
+    _, state, step_fn = init_everything(cfg, batch)
+    before = [np.asarray(x) for x in
+              jax.tree_util.tree_leaves(state.params["cond_encoder"])]
+    stats_before = [np.asarray(x) for x in
+                    jax.tree_util.tree_leaves(state.batch_stats["cond_encoder"])]
+    # 3 steps: the warmup LR schedule is exactly 0 at step 0, so a single
+    # step cannot move parameters even with correct gradients
+    rng = jax.random.PRNGKey(3)
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        state, loss = step_fn(state, batch, k)
+    assert np.isfinite(float(loss))
+    after = jax.tree_util.tree_leaves(state.params["cond_encoder"])
+    assert max(
+        float(np.max(np.abs(np.asarray(a) - b)))
+        for a, b in zip(after, before)
+    ) > 0.0
+    stats_after = jax.tree_util.tree_leaves(state.batch_stats["cond_encoder"])
+    assert max(
+        float(np.max(np.abs(np.asarray(a) - b)))
+        for a, b in zip(stats_after, stats_before)
+    ) > 0.0
+
+
 def test_train_step_specformer_bf16_path():
     """model.specformer_bf16 runs the spectra encoder in the compute dtype;
     the step must produce a finite loss (the TPU remote-compiler gate is an
