@@ -48,3 +48,44 @@ def meta_checkpoint_dir(workdir: str) -> str:
 
 def numbered_checkpoint_dir(workdir: str, number: int) -> str:
     return os.path.join(workdir, "checkpoints", f"checkpoint_{number}")
+
+
+def latest_numbered_checkpoint(workdir: str) -> int | None:
+    """Highest N for which a finalized ``checkpoints/checkpoint_N`` exists."""
+    ckpt_dir = os.path.join(workdir, "checkpoints")
+    if not os.path.isdir(ckpt_dir):
+        return None
+    nums = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("checkpoint_") and not name.endswith("-tmp"):
+            try:
+                nums.append(int(name[len("checkpoint_"):]))
+            except ValueError:
+                continue
+    return max(nums) if nums else None
+
+
+def restore_for_resume(workdir: str, state):
+    """Preemption-safe resume: the meta checkpoint, else the latest snapshot.
+
+    A preemption can land mid-way through the (overwriting) meta save,
+    leaving only an ``…-tmp`` directory behind — ``restore_checkpoint`` on
+    the meta dir would then silently restart from step 0 even though
+    numbered snapshots are intact. Fall back to the highest finalized
+    ``checkpoint_N`` in that case (ref run_lib.py:204-215 has the same
+    meta-first semantics; the numbered fallback is an addition for exactly
+    this interrupted-save window).
+    """
+    meta = meta_checkpoint_dir(workdir)
+    if os.path.exists(meta):
+        return restore_checkpoint(meta, state)
+    latest = latest_numbered_checkpoint(workdir)
+    if latest is None:
+        return restore_checkpoint(meta, state)  # warns + returns fresh state
+    logging.warning(
+        "Meta checkpoint missing/incomplete at %s; resuming from snapshot "
+        "checkpoint_%d instead",
+        meta,
+        latest,
+    )
+    return restore_checkpoint(numbered_checkpoint_dir(workdir, latest), state)

@@ -212,7 +212,7 @@ def diffspectra_train(config, config_original_qm9, workdir):
     meta_dir = ckpt_lib.meta_checkpoint_dir(workdir)
     ckpt_dir = os.path.join(workdir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
-    state = ckpt_lib.restore_checkpoint(meta_dir, state)
+    state = ckpt_lib.restore_for_resume(workdir, state)
     initial_step = int(state.step)
     if initial_step == 0:
         logging.info("%s", config)

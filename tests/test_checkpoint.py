@@ -54,6 +54,59 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
 
 
+def test_restore_for_resume_falls_back_to_numbered(tmp_path):
+    """A preemption mid-way through the meta save leaves only a ``…-tmp``
+    dir; resume must fall back to the latest finalized numbered snapshot
+    instead of silently restarting from step 0."""
+    cfg = small_config()
+    batch = make_batch(jax.random.PRNGKey(0), cfg)
+    model = DMT.from_config(cfg)
+    sch = NoiseScheduleVP(cfg.sde.schedule)
+    tx = optim_lib.get_optimizer(cfg)
+    n = cfg.data.max_node
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((4,)), jnp.zeros((4, n, 9)),
+        batch["atom_mask"][..., None], batch["edge_mask"], batch["context"],
+        edge_x=jnp.zeros((4, n, n, 2)), noise_level=jnp.zeros((4,)),
+    )
+    state = create_train_state(variables, tx, cfg.model.ema_decay)
+    step_fn = jax.jit(get_step_fn(sch, model, tx, get_data_scaler(cfg), cfg))
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(2))
+
+    workdir = str(tmp_path)
+    ckpt_lib.save_checkpoint(
+        ckpt_lib.numbered_checkpoint_dir(workdir, 2), jax.device_get(state)
+    )
+    ckpt_lib.save_checkpoint(
+        ckpt_lib.numbered_checkpoint_dir(workdir, 7), jax.device_get(state)
+    )
+    # simulate the interrupted meta save: only a -tmp directory exists
+    import os
+
+    os.makedirs(
+        os.path.join(workdir, "checkpoints-meta",
+                     "checkpoint.orbax-checkpoint-tmp")
+    )
+    assert ckpt_lib.latest_numbered_checkpoint(workdir) == 7
+
+    fresh = create_train_state(variables, tx, cfg.model.ema_decay)
+    restored = ckpt_lib.restore_for_resume(workdir, fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state)),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # with a finalized meta checkpoint present, meta wins
+    state2, _ = step_fn(restored, batch, jax.random.PRNGKey(3))
+    ckpt_lib.save_checkpoint(
+        ckpt_lib.meta_checkpoint_dir(workdir), jax.device_get(state2)
+    )
+    restored2 = ckpt_lib.restore_for_resume(workdir, fresh)
+    assert int(restored2.step) == 2
+
+
 def test_restore_missing_returns_input(tmp_path):
     cfg = small_config()
     batch = make_batch(jax.random.PRNGKey(0), cfg)
