@@ -91,8 +91,11 @@ def get_config():
     model.specformer_bf16 = False
     # encode the spectra ONCE per train step and share the embedding across
     # the self-conditioning double forward (losses._maybe_reuse_context);
-    # False = reference semantics (SpecFormer re-runs inside each forward)
-    model.reuse_cond_emb = False
+    # False = reference semantics (SpecFormer re-runs inside each forward).
+    # Default True: measured +17% train throughput on v5e (1104 -> ~1290
+    # graphs/sec at batch 128); only semantic delta is one BatchNorm
+    # running-stats update per step instead of two identical ones.
+    model.reuse_cond_emb = True
     model.patch_len = [20, 50, 50]
     model.stride = [10, 25, 25]
     # loss

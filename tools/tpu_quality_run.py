@@ -42,6 +42,10 @@ def main():
     cfg.training.snapshot_sampling = False
     cfg.optim.warmup = min(5000, steps // 10)
 
+    from _overrides import apply_env_overrides
+
+    apply_env_overrides(cfg)
+
     workdir = os.environ.get("TRAIN_WORKDIR", "/root/repo/exp/quality_run")
     logging.basicConfig(
         level=logging.INFO,

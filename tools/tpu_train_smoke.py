@@ -39,18 +39,9 @@ def main():
 
     # comma-separated dotted config overrides for perf probes, e.g.
     # TRAIN_OVERRIDES="model.reuse_cond_emb=True,model.scan_unroll=2"
-    for ov in filter(None, os.environ.get("TRAIN_OVERRIDES", "").split(",")):
-        path, _, raw = ov.partition("=")
-        node = cfg
-        keys = path.strip().split(".")
-        for k in keys[:-1]:
-            node = getattr(node, k)
-        try:
-            val = eval(raw, {}, {})  # literals only: True / 2 / 0.5 / 'dots'
-        except Exception:
-            val = raw
-        setattr(node, keys[-1], val)
-        print(f"override: {path.strip()} = {val!r}", flush=True)
+    from _overrides import apply_env_overrides
+
+    apply_env_overrides(cfg)
 
     workdir = os.environ.get("TRAIN_WORKDIR", "/root/repo/exp/tpu_train_smoke")
     logging.basicConfig(
