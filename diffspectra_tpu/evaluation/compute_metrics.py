@@ -231,7 +231,9 @@ def _pair_scores_graph(true_mol: MolGraph, pred_mol: MolGraph):
         "inchikey_match": true_mol.wl_hash() == pred_mol.wl_hash(),
         "mces": _mces_exact(true_mol, pred_mol),
         "tanimoto": FP.tanimoto(fp_t, fp_p),
-        "tanimoto_maccs": FP.tanimoto(fp_t, fp_p),
+        # MACCS keys are RDKit-only; duplicating the WL tanimoto here would
+        # mislabel the column — NaN, like fraggle
+        "tanimoto_maccs": float("nan"),
         "cosine": FP.cosine(fp_t, fp_p),
         "fraggle": float("nan"),
         "fg": len(fg1 & fg2) / len(all_g) if all_g else 1.0,
