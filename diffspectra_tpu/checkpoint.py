@@ -57,7 +57,10 @@ def latest_numbered_checkpoint(workdir: str) -> int | None:
         return None
     nums = []
     for name in os.listdir(ckpt_dir):
-        if name.startswith("checkpoint_") and not name.endswith("-tmp"):
+        # orbax in-progress dirs look like
+        # "checkpoint_N.orbax-checkpoint-tmp-<ts>"; the int() parse also
+        # rejects them, but match the real naming explicitly
+        if name.startswith("checkpoint_") and ".orbax-checkpoint-tmp" not in name:
             try:
                 nums.append(int(name[len("checkpoint_"):]))
             except ValueError:

@@ -240,11 +240,45 @@ def _pair_scores_graph(true_mol: MolGraph, pred_mol: MolGraph):
     }
 
 
+def _coerce_pair(true_mol, pred_mol):
+    """Bring a mixed MolGraph/RDKit pair onto one representation.
+
+    run_lib builds its targets as MolGraphs while stability returns RDKit
+    RWMols when RDKit is installed; comparing across the two types would
+    silently score 0 (wl_hash on an RWMol raises, the caller's except
+    swallows it). With RDKit present, MolGraph sides are lifted to RDKit
+    (molgraph.to_rdkit); without it no RDKit mols can exist."""
+    if not HAS_RDKIT:
+        return true_mol, pred_mol
+    from rdkit import Chem
+
+    from .cal_geometry import _to_molgraph
+    from .molgraph import to_rdkit
+
+    def lift(mg):
+        m = to_rdkit(mg)
+        Chem.SanitizeMol(m)
+        return m
+
+    if isinstance(true_mol, MolGraph) and not isinstance(pred_mol, MolGraph):
+        try:
+            true_mol = lift(true_mol)
+        except Exception:  # unsanitizable target: demote the RDKit side
+            pred_mol = _to_molgraph(pred_mol)
+    elif isinstance(pred_mol, MolGraph) and not isinstance(true_mol, MolGraph):
+        try:
+            pred_mol = lift(pred_mol)
+        except Exception:
+            true_mol = _to_molgraph(true_mol)
+    return true_mol, pred_mol
+
+
 def _exact_match(true_mol, pred_mol):
     """Graph-identity exact match: InChIKey equality under RDKit (ref
     compute_metrics.py:222-233), WL-hash equality otherwise."""
     if true_mol is None or pred_mol is None:
         return False
+    true_mol, pred_mol = _coerce_pair(true_mol, pred_mol)
     if isinstance(true_mol, MolGraph) or not HAS_RDKIT:
         try:
             return true_mol.wl_hash() == pred_mol.wl_hash()
@@ -253,6 +287,8 @@ def _exact_match(true_mol, pred_mol):
     from rdkit import Chem
 
     try:
+        Chem.SanitizeMol(true_mol)
+        Chem.SanitizeMol(pred_mol)
         return Chem.MolToInchiKey(true_mol) == Chem.MolToInchiKey(pred_mol)
     except Exception:
         return False
@@ -319,6 +355,7 @@ def evaluate_jsonl_predictions(input_data, output_csv: str):
                              "tanimoto_maccs", "cosine", "fraggle", "fg")}
     for true_mol, pred_entry in zip(true_mols, pred_mols):
         pred_mol = pred_entry[0] if isinstance(pred_entry, list) else pred_entry
+        true_mol, pred_mol = _coerce_pair(true_mol, pred_mol)
         if isinstance(true_mol, MolGraph) or not HAS_RDKIT:
             scores = _pair_scores_graph(true_mol, pred_mol)
         else:

@@ -146,8 +146,12 @@ def mol_passes_filters_rdkit(mol) -> bool:
         return False
     if any(a.GetSymbol() not in _ALLOWED_ATOMS for a in mol.GetAtoms()):
         return False
+    # moses matches BOTH filter families against the explicit-H mol
+    # (moses utils.mol_passes_filters builds h_mol = AddHs(mol) and runs all
+    # SMARTS on it); PAINS patterns with H-count constraints can differ on
+    # the implicit-H mol
     h_mol = Chem.AddHs(mol)
-    if _get_pains_catalog().HasMatch(mol):
+    if _get_pains_catalog().HasMatch(h_mol):
         return False
     for patt in _get_mcf_patterns():
         if h_mol.HasSubstructMatch(patt):

@@ -124,6 +124,50 @@ class MolGraph:
         return hashlib.md5(",".join(sorted(colors)).encode()).hexdigest()
 
 
+def to_rdkit(mg: MolGraph):
+    """Convert to an RDKit RWMol (with conformer when positions are set).
+
+    Raises ImportError when RDKit is absent — callers gate on availability.
+    Same construction as stability._build_rdkit_mol so MolGraph-backed
+    reference sets interoperate with RDKit-backed generated molecules
+    (Top-K exact match, moses SMILES paths)."""
+    from rdkit import Chem
+    from rdkit.Geometry import Point3D
+
+    bond_list = [
+        None,
+        Chem.rdchem.BondType.SINGLE,
+        Chem.rdchem.BondType.DOUBLE,
+        Chem.rdchem.BondType.TRIPLE,
+        Chem.rdchem.BondType.AROMATIC,
+    ]
+    mol = Chem.RWMol()
+    for sym in mg.atom_syms:
+        mol.AddAtom(Chem.Atom(sym))
+    for idx, fc in enumerate(mg.formal_charges):
+        if int(fc) != 0:
+            mol.GetAtomWithIdx(idx).SetFormalCharge(int(fc))
+    if mg.positions is not None:
+        conf = Chem.Conformer(mol.GetNumAtoms())
+        for i in range(mol.GetNumAtoms()):
+            conf.SetAtomPosition(
+                i,
+                Point3D(
+                    float(mg.positions[i][0]),
+                    float(mg.positions[i][1]),
+                    float(mg.positions[i][2]),
+                ),
+            )
+        mol.AddConformer(conf)
+    n = mg.n_atoms
+    for i in range(n):
+        for j in range(i + 1, n):
+            order = int(mg.bond_orders[i, j])
+            if order > 0:
+                mol.AddBond(i, j, bond_list[order])
+    return mol
+
+
 def from_decoded(mol_tuple, atom_decoder: Sequence[str]) -> MolGraph:
     """Build from a decoded sampler tuple (pos, atom_type, edge_type, fc)."""
     pos, atom_type, edge_type, fc = (

@@ -113,16 +113,25 @@ def _morgan_matrix(smiles_list):
 
 
 def _canonical_smiles(mols) -> list:
-    """Canonical SMILES of valid RDKit mols (empty without RDKit)."""
+    """Canonical SMILES of valid mols (empty without RDKit).
+
+    MolGraph entries are converted via molgraph.to_rdkit — the run_lib eval
+    pipeline builds its reference sets as MolGraphs, and without this
+    conversion the real-FCD and Morgan SNN/IntDiv paths below would be dead
+    in every RDKit deployment."""
     if not HAS_RDKIT:
         return []
     from rdkit import Chem
 
+    from .molgraph import to_rdkit
+
     out = []
     for m in mols:
-        if isinstance(m, MolGraph) or m is None:
+        if m is None:
             continue
         try:
+            if isinstance(m, MolGraph):
+                m = to_rdkit(m)
             Chem.SanitizeMol(m)
             smi = Chem.MolToSmiles(m, canonical=True)
             if smi:
@@ -175,6 +184,9 @@ def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int =
         # SNN / IntDiv over the FULL sets (round 1 capped at 2000/1000 —
         # silently off-protocol; now blockwise matmuls make full sets cheap).
         if HAS_RDKIT and ptest.get("smiles"):
+            # dedup matches the reference protocol (ref mose_metric.py:105-108
+            # runs set() over gen SMILES before SNN/Frag/Scaf/IntDiv; upstream
+            # moses would keep duplicates — the reference is the spec here)
             gen_smiles = sorted(set(_canonical_smiles(gen_mols)))
             gen_mat = _morgan_matrix(gen_smiles)
             ref_mat = ptest.get("morgan")

@@ -149,8 +149,15 @@ def _sampling_mesh(mesh, batch_size):
     n = mesh.devices.size
     if n <= 1 or jax.process_count() > 1:
         return None, batch_size
+    if batch_size < n:
+        # rounding UP would silently exceed the configured batch (memory /
+        # sample-count granularity the user chose); run single-device instead
+        logging.info(
+            "sampling batch %d < %d devices; fan-out disabled", batch_size, n,
+        )
+        return None, batch_size
     if batch_size % n != 0:
-        adjusted = max(n, (batch_size // n) * n)
+        adjusted = (batch_size // n) * n
         logging.info(
             "sampling batch %d not divisible over %d devices; running the "
             "fan-out at batch %d", batch_size, n, adjusted,
@@ -486,7 +493,11 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
     # protocol produced the numbers.
     if config_original_qm9 is not None:
         logging.info("metric reference sets: original-QM9 (--config_original_qm9)")
-        _, ref_train_ds, _, ref_test_ds, _ = get_dataset(config_original_qm9)
+        # transform=False: reference mols only need raw pos/atoms/bonds —
+        # skips ~GBs of one-hot edge/spectra arrays this path never reads
+        _, ref_train_ds, _, ref_test_ds, _ = get_dataset(
+            config_original_qm9, transform=False
+        )
     else:
         logging.info(
             "metric reference sets: conditional-split dataset "
@@ -637,16 +648,25 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
 
 
 def _rows_to_molgraphs(rows, atom_decoder):
+    """Accepts transformed rows (positions / formal_charges [M,N,1]) or raw
+    rows (pos / fc [M,N]) — metric reference sets are built from the RAW
+    arrays (get_dataset(transform=False)) to skip the one-hot/spectra
+    transform they never consume."""
+    pos = rows["positions"] if "positions" in rows else rows["pos"]
+    if "formal_charges" in rows:
+        fc = rows["formal_charges"][..., 0]
+    else:
+        fc = rows["fc"]
     out = []
     for i in range(len(rows["num_atom"])):
         n = int(rows["num_atom"][i])
         out.append(
             from_decoded(
                 (
-                    rows["positions"][i][:n],
+                    pos[i][:n],
                     rows["atom_type"][i][:n],
                     rows["edge_type"][i][:n, :n],
-                    rows["formal_charges"][i][:n, 0].astype(np.int64),
+                    fc[i][:n].astype(np.int64),
                 ),
                 atom_decoder,
             )

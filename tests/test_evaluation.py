@@ -229,7 +229,8 @@ def test_exact_match_rdkit_mode_stubbed(monkeypatch):
             self.key = key
 
     chem = types.SimpleNamespace(
-        MolToInchiKey=lambda m: (calls.append(m.key), m.key)[1]
+        MolToInchiKey=lambda m: (calls.append(m.key), m.key)[1],
+        SanitizeMol=lambda m: None,
     )
     fake_rdkit = types.ModuleType("rdkit")
     fake_rdkit.Chem = chem
@@ -240,3 +241,44 @@ def test_exact_match_rdkit_mode_stubbed(monkeypatch):
     assert CM._exact_match(_FakeMol("AAA"), _FakeMol("BBB")) is False
     # the stub was actually reached (not short-circuited by a swallowed error)
     assert calls == ["AAA", "AAA", "AAA", "BBB"]
+
+
+def test_exact_match_mixed_molgraph_rdkit_pair(monkeypatch):
+    """Regression (r2 review): run_lib's Top-K targets are MolGraphs while
+    stability returns RDKit mols in RDKit deployments; _exact_match must
+    lift the MolGraph side instead of calling wl_hash() on an RDKit mol
+    (AttributeError swallowed -> permanent 0% Top-K)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from diffspectra_tpu.evaluation import compute_metrics as CM
+    from diffspectra_tpu.evaluation import molgraph as MG
+
+    class _FakeMol:
+        def __init__(self, key):
+            self.key = key
+
+    chem = types.SimpleNamespace(
+        MolToInchiKey=lambda m: m.key,
+        SanitizeMol=lambda m: None,
+    )
+    fake_rdkit = types.ModuleType("rdkit")
+    fake_rdkit.Chem = chem
+    monkeypatch.setitem(sys.modules, "rdkit", fake_rdkit)
+    monkeypatch.setattr(CM, "HAS_RDKIT", True)
+    # stand-in for the real converter (needs full RDKit): key by formula
+    monkeypatch.setattr(
+        MG, "to_rdkit", lambda mg: _FakeMol("".join(sorted(mg.atom_syms)))
+    )
+
+    bonds = np.zeros((3, 3), int)
+    bonds[0, 1] = bonds[1, 0] = 1
+    bonds[1, 2] = bonds[2, 1] = 1
+    target = MG.MolGraph(["C", "C", "O"], np.zeros(3, int), bonds)
+
+    assert CM._exact_match(target, _FakeMol("CCO")) is True
+    assert CM._exact_match(target, _FakeMol("CCN")) is False
+    # symmetric case: MolGraph prediction against an RDKit target
+    assert CM._exact_match(_FakeMol("CCO"), target) is True
