@@ -1,0 +1,112 @@
+"""Stall watchdog for long TPU runs on flaky device transports.
+
+This environment's TPU relay can sporadically wedge a training process:
+every thread ends up futex-waiting on a device response that never arrives
+(observed twice on multi-hour runs, both times right after heavy
+host<->device traffic; the repro smoke with saves every 50 steps does NOT
+reproduce it, so it is transport flakiness, not a framework deadlock).
+Training is preemption-safe (checkpoint.restore_for_resume), so the cheap
+fix is supervision: restart the child whenever its progress log stops
+advancing.
+
+Usage:
+    python tools/run_with_watchdog.py <progress_log> <cmd> [args...]
+
+Policy:
+- progress = mtime of <progress_log> (the training log; every 500-step
+  window writes a line). Grace WATCHDOG_COMPILE_GRACE (default 45 min)
+  before the first progress while the child compiles; after progress is
+  seen, WATCHDOG_STALL_SECS (default 600 s) of silence triggers a restart.
+- the child is its own process group; stall-kill is SIGKILL on the group
+  (a wedged PJRT client ignores SIGTERM waiting on its futex).
+- max WATCHDOG_MAX_RESTARTS (default 20) restarts, then give up.
+- exits with the child's exit code when the child finishes on its own;
+  SIGTERM/SIGINT to the watchdog forwards to the child group and exits.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+STALL_SECS = int(os.environ.get("WATCHDOG_STALL_SECS", 600))
+COMPILE_GRACE = int(os.environ.get("WATCHDOG_COMPILE_GRACE", 2700))
+MAX_RESTARTS = int(os.environ.get("WATCHDOG_MAX_RESTARTS", 20))
+POLL = int(os.environ.get("WATCHDOG_POLL_SECS", 20))
+
+
+def _mtime(path):
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return None
+
+
+def main():
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    progress_log, cmd = sys.argv[1], sys.argv[2:]
+
+    child = None
+
+    def forward(signum, _frame):
+        if child is not None and child.poll() is None:
+            os.killpg(child.pid, signum)
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, forward)
+    signal.signal(signal.SIGINT, forward)
+
+    restarts = 0
+    while True:
+        start = time.time()
+        start_mtime = _mtime(progress_log)
+        child = subprocess.Popen(cmd, start_new_session=True)
+        print(
+            f"watchdog: started pid={child.pid} (restart {restarts}/"
+            f"{MAX_RESTARTS})",
+            flush=True,
+        )
+        progressed = False
+        while True:
+            time.sleep(POLL)
+            # re-check liveness AFTER the sleep so a child that exits during
+            # the poll window is never mis-flagged as stalled
+            rc = child.poll()
+            if rc is not None:
+                if rc == 0:
+                    print("watchdog: child finished cleanly", flush=True)
+                    return 0
+                print(f"watchdog: child exited rc={rc}", flush=True)
+                break  # crashed: restart below
+            m = _mtime(progress_log)
+            if m is not None and (start_mtime is None or m > start_mtime):
+                if not progressed:
+                    print("watchdog: first progress observed", flush=True)
+                progressed = True
+                start_mtime = m
+                last_progress = m
+            limit = STALL_SECS if progressed else COMPILE_GRACE
+            ref = last_progress if progressed else start
+            if time.time() - ref > limit:
+                print(
+                    f"watchdog: no progress in {limit}s — killing pid="
+                    f"{child.pid}",
+                    flush=True,
+                )
+                try:
+                    os.killpg(child.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                child.wait()
+                break
+        restarts += 1
+        if restarts > MAX_RESTARTS:
+            print("watchdog: restart budget exhausted", flush=True)
+            return 1
+        time.sleep(10)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
