@@ -1,0 +1,82 @@
+"""Stall watchdog (tools/run_with_watchdog.py): a child whose progress file
+stops advancing is killed and restarted; a clean exit ends supervision."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_watchdog_restarts_stalled_child_then_exits_clean(tmp_path):
+    progress = tmp_path / "progress.log"
+    marker = tmp_path / "ran_once"
+    child = tmp_path / "child.sh"
+    child.write_text(
+        "#!/bin/bash\n"
+        f"echo tick >> {progress}\n"
+        "sleep 1\n"
+        f"echo tick >> {progress}\n"
+        f"if [ ! -f {marker} ]; then\n"
+        f"  touch {marker}\n"
+        "  sleep 9999\n"  # first run: stall after progress
+        "fi\n"
+        "exit 0\n"  # second run: finish cleanly
+    )
+    child.chmod(0o755)
+
+    env = dict(
+        os.environ,
+        WATCHDOG_POLL_SECS="1",
+        WATCHDOG_STALL_SECS="4",
+        WATCHDOG_COMPILE_GRACE="30",
+        WATCHDOG_MAX_RESTARTS="3",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "run_with_watchdog.py"),
+            str(progress),
+            str(child),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = proc.stdout
+    assert "no progress" in out  # the stall was detected
+    assert "restart 1/" in out  # exactly one restart happened
+    assert "finished cleanly" in out
+
+
+def test_watchdog_gives_up_after_max_restarts(tmp_path):
+    progress = tmp_path / "progress.log"
+    child = tmp_path / "child.sh"
+    # always stalls (after making progress once)
+    child.write_text(
+        f"#!/bin/bash\necho tick >> {progress}\nsleep 9999\n"
+    )
+    child.chmod(0o755)
+    env = dict(
+        os.environ,
+        WATCHDOG_POLL_SECS="1",
+        WATCHDOG_STALL_SECS="2",
+        WATCHDOG_COMPILE_GRACE="5",
+        WATCHDOG_MAX_RESTARTS="1",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "run_with_watchdog.py"),
+            str(progress),
+            str(child),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 1
+    assert "restart budget exhausted" in proc.stdout
