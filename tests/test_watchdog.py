@@ -29,6 +29,7 @@ def test_watchdog_restarts_stalled_child_then_exits_clean(tmp_path):
         os.environ,
         WATCHDOG_POLL_SECS="1",
         WATCHDOG_STALL_SECS="4",
+        WATCHDOG_PROGRESS_REGEX="tick",
         WATCHDOG_COMPILE_GRACE="30",
         WATCHDOG_MAX_RESTARTS="3",
     )
@@ -63,6 +64,7 @@ def test_watchdog_gives_up_after_max_restarts(tmp_path):
         os.environ,
         WATCHDOG_POLL_SECS="1",
         WATCHDOG_STALL_SECS="2",
+        WATCHDOG_PROGRESS_REGEX="tick",
         WATCHDOG_COMPILE_GRACE="5",
         WATCHDOG_MAX_RESTARTS="1",
     )
@@ -80,3 +82,40 @@ def test_watchdog_gives_up_after_max_restarts(tmp_path):
     )
     assert proc.returncode == 1
     assert "restart budget exhausted" in proc.stdout
+
+
+def test_watchdog_ignores_non_matching_log_lines(tmp_path):
+    """Startup chatter (dataset gen, restore logs) must NOT arm or reset the
+    stall timer — only PROGRESS_REGEX matches count (the any-mtime mode
+    caused spurious kills during multi-minute silent startup gaps)."""
+    progress = tmp_path / "progress.log"
+    child = tmp_path / "child.sh"
+    # writes noise forever, never a matching line
+    child.write_text(
+        f"#!/bin/bash\nwhile true; do echo setup-noise >> {progress}; "
+        "sleep 1; done\n"
+    )
+    child.chmod(0o755)
+    env = dict(
+        os.environ,
+        WATCHDOG_POLL_SECS="1",
+        WATCHDOG_STALL_SECS="60",
+        WATCHDOG_PROGRESS_REGEX="tick",
+        WATCHDOG_COMPILE_GRACE="4",
+        WATCHDOG_MAX_RESTARTS="1",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "run_with_watchdog.py"),
+            str(progress),
+            str(child),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    # never sees progress: killed on COMPILE_GRACE both times, budget spent
+    assert proc.returncode == 1
+    assert "first progress observed" not in proc.stdout

@@ -13,10 +13,14 @@ Usage:
     python tools/run_with_watchdog.py <progress_log> <cmd> [args...]
 
 Policy:
-- progress = mtime of <progress_log> (the training log; every 500-step
-  window writes a line). Grace WATCHDOG_COMPILE_GRACE (default 45 min)
-  before the first progress while the child compiles; after progress is
-  seen, WATCHDOG_STALL_SECS (default 600 s) of silence triggers a restart.
+- progress = new lines matching WATCHDOG_PROGRESS_REGEX (default
+  ``step: \\d+``, the per-window training line) appended to <progress_log>;
+  set it to empty to fall back to any-mtime-change mode. Startup (dataset
+  synthesis, checkpoint restore, store upload, compile) writes logs in
+  bursts with multi-minute silent gaps, so only real step lines arm the
+  stall timer — WATCHDOG_COMPILE_GRACE (default 45 min) applies per child
+  launch until the first match; after that, WATCHDOG_STALL_SECS (default
+  300 s) without a new match triggers a restart.
 - the child is its own process group; stall-kill is SIGKILL on the group
   (a wedged PJRT client ignores SIGTERM waiting on its futex).
 - max WATCHDOG_MAX_RESTARTS (default 20) restarts, then give up.
@@ -25,15 +29,17 @@ Policy:
 """
 
 import os
+import re
 import signal
 import subprocess
 import sys
 import time
 
-STALL_SECS = int(os.environ.get("WATCHDOG_STALL_SECS", 600))
+STALL_SECS = int(os.environ.get("WATCHDOG_STALL_SECS", 300))
 COMPILE_GRACE = int(os.environ.get("WATCHDOG_COMPILE_GRACE", 2700))
 MAX_RESTARTS = int(os.environ.get("WATCHDOG_MAX_RESTARTS", 20))
 POLL = int(os.environ.get("WATCHDOG_POLL_SECS", 20))
+PROGRESS_REGEX = os.environ.get("WATCHDOG_PROGRESS_REGEX", r"step: \d+")
 
 
 def _mtime(path):
@@ -41,6 +47,44 @@ def _mtime(path):
         return os.path.getmtime(path)
     except OSError:
         return None
+
+
+class _ProgressTracker:
+    """Progress = a new PROGRESS_REGEX match appended to the log (or, with
+    an empty regex, any mtime change). Reads only appended bytes."""
+
+    def __init__(self, path):
+        self.path = path
+        self.pattern = re.compile(PROGRESS_REGEX) if PROGRESS_REGEX else None
+        self.offset = self._size()
+        self.mtime = _mtime(path)
+
+    def _size(self):
+        try:
+            return os.path.getsize(self.path)
+        except OSError:
+            return 0
+
+    def advanced(self) -> bool:
+        if self.pattern is None:
+            m = _mtime(self.path)
+            if m is not None and (self.mtime is None or m > self.mtime):
+                self.mtime = m
+                return True
+            return False
+        size = self._size()
+        if size < self.offset:  # truncated/rotated: start over
+            self.offset = 0
+        if size == self.offset:
+            return False
+        try:
+            with open(self.path, "rb") as f:
+                f.seek(self.offset)
+                chunk = f.read(size - self.offset)
+            self.offset = size
+        except OSError:
+            return False
+        return bool(self.pattern.search(chunk.decode("utf-8", "replace")))
 
 
 def main():
@@ -61,7 +105,7 @@ def main():
     restarts = 0
     while True:
         start = time.time()
-        start_mtime = _mtime(progress_log)
+        tracker = _ProgressTracker(progress_log)
         child = subprocess.Popen(cmd, start_new_session=True)
         print(
             f"watchdog: started pid={child.pid} (restart {restarts}/"
@@ -69,6 +113,7 @@ def main():
             flush=True,
         )
         progressed = False
+        last_progress = start
         while True:
             time.sleep(POLL)
             # re-check liveness AFTER the sleep so a child that exits during
@@ -80,13 +125,11 @@ def main():
                     return 0
                 print(f"watchdog: child exited rc={rc}", flush=True)
                 break  # crashed: restart below
-            m = _mtime(progress_log)
-            if m is not None and (start_mtime is None or m > start_mtime):
+            if tracker.advanced():
                 if not progressed:
                     print("watchdog: first progress observed", flush=True)
                 progressed = True
-                start_mtime = m
-                last_progress = m
+                last_progress = time.time()
             limit = STALL_SECS if progressed else COMPILE_GRACE
             ref = last_progress if progressed else start
             if time.time() - ref > limit:
