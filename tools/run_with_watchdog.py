@@ -21,8 +21,10 @@ Policy:
   stall timer — WATCHDOG_COMPILE_GRACE (default 45 min) applies per child
   launch until the first match; after that, WATCHDOG_STALL_SECS (default
   300 s) without a new match triggers a restart.
-- the child is its own process group; stall-kill is SIGKILL on the group
-  (a wedged PJRT client ignores SIGTERM waiting on its futex).
+- the child is its own process group; stall-kill is SIGTERM on the group
+  first (gives the PJRT client WATCHDOG_TERM_GRACE, default 30 s, to
+  release its remote device lease — a SIGKILLed client leaves the lease
+  held and the successor blocks at init until it expires), then SIGKILL.
 - max WATCHDOG_MAX_RESTARTS (default 20) restarts, then give up.
 - exits with the child's exit code when the child finishes on its own;
   SIGTERM/SIGINT to the watchdog forwards to the child group and exits.
@@ -87,6 +89,28 @@ class _ProgressTracker:
         return bool(self.pattern.search(chunk.decode("utf-8", "replace")))
 
 
+TERM_GRACE = int(os.environ.get("WATCHDOG_TERM_GRACE", 30))
+
+
+def _kill_group(child):
+    """SIGTERM the group, escalate to SIGKILL after TERM_GRACE seconds."""
+    try:
+        os.killpg(child.pid, signal.SIGTERM)
+    except ProcessLookupError:
+        child.wait()
+        return
+    deadline = time.time() + TERM_GRACE
+    while time.time() < deadline:
+        if child.poll() is not None:
+            return
+        time.sleep(1)
+    try:
+        os.killpg(child.pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+    child.wait()
+
+
 def main():
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
@@ -138,11 +162,7 @@ def main():
                     f"{child.pid}",
                     flush=True,
                 )
-                try:
-                    os.killpg(child.pid, signal.SIGKILL)
-                except ProcessLookupError:
-                    pass
-                child.wait()
+                _kill_group(child)
                 break
         restarts += 1
         if restarts > MAX_RESTARTS:
