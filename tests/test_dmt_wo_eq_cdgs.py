@@ -104,3 +104,44 @@ def test_cdgs_shapes_and_masking():
         np.asarray(bond_score), np.asarray(jnp.swapaxes(bond_score, 1, 2)), atol=1e-5
     )
     assert np.all(np.isfinite(np.asarray(atom_score)))
+
+
+def test_dmt_wo_eq_encode_context_train_compatible():
+    """encode_context_train (models/dmt.py) is written against the shared
+    conditioning structure (cond_encoder SpecFormer + cond_lin Dense); it
+    must produce the same output on DMT_WO_EQ as the in-graph context path
+    so model.reuse_cond_emb works for the ablation family too."""
+    from diffspectra_tpu.models.dmt import encode_context_train
+
+    model = DMT_WO_EQ(
+        in_node_dim=6, hidden_dim=32, edge_hidden_dim=8, n_heads=4, n_layers=2,
+        dropout=0.0, spectra_version="ir",
+    )
+    inp = make_inputs(jax.random.PRNGKey(0))
+    variables = model.init(
+        jax.random.PRNGKey(1), inp["t"], inp["xh"], inp["node_mask"],
+        inp["edge_mask"], inp["context"], edge_x=inp["edge_x"],
+        noise_level=inp["noise_level"],
+    )
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    (out_a, edge_a), _ = model.apply(
+        variables, inp["t"], inp["xh"], inp["node_mask"], inp["edge_mask"],
+        inp["context"], edge_x=inp["edge_x"], noise_level=inp["noise_level"],
+        deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    ctx_emb, enc_stats = encode_context_train(
+        model, params, stats, inp["context"], jax.random.PRNGKey(3)
+    )
+    assert "cond_encoder" in enc_stats
+    (out_b, edge_b), _ = model.apply(
+        variables, inp["t"], inp["xh"], inp["node_mask"], inp["edge_mask"],
+        None, edge_x=inp["edge_x"], noise_level=inp["noise_level"],
+        context_emb=ctx_emb,
+        deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(edge_a), np.asarray(edge_b), atol=1e-5)
