@@ -64,3 +64,25 @@ def test_parallel_step_runs_and_matches_replicated_semantics():
     # parameters stay replicated (single logical value)
     leaf = jax.tree_util.tree_leaves(new_state2.params)[0]
     assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_sampling_mesh_batch_contract():
+    """_sampling_mesh: divisible batches pass through, indivisible round
+    DOWN (keeping the fan-out), and batches below the device count disable
+    the fan-out instead of silently growing the batch."""
+    from diffspectra_tpu.run_lib import _sampling_mesh
+
+    mesh = create_mesh(8)
+    n = mesh.devices.size
+    assert n == 8  # conftest forces the 8-device virtual CPU mesh
+
+    m, b = _sampling_mesh(mesh, 128)
+    assert m is mesh and b == 128
+    m, b = _sampling_mesh(mesh, 100)
+    assert m is mesh and b == 96  # rounded down, multiple of 8
+    m, b = _sampling_mesh(mesh, 4)
+    assert m is None and b == 4  # below device count: single-device path
+
+    single = create_mesh(1)
+    m, b = _sampling_mesh(single, 100)
+    assert m is None and b == 100
