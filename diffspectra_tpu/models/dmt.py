@@ -360,7 +360,10 @@ class DMT(nn.Module):
     # backward rematerialisation policy for the block scan:
     # 'full' recomputes everything (minimum memory), 'dots' saves matmul/MXU
     # outputs and recomputes only VPU elementwise work (faster backward,
-    # ~n_layers x the pair-grid dot activations resident). No param change.
+    # ~n_layers x the pair-grid dot activations resident), 'none' skips
+    # remat entirely — the scan stacks every layer's residuals (maximum
+    # memory, no recompute; viable only when L x the pair-grid activations
+    # fit HBM, probe before enabling at scale). No param change.
     remat_policy: str = "full"
     # run SpecFormer in the model dtype (bf16 compute) inside this graph;
     # off by default — see the gate comment at the SpecFormer call site
@@ -520,15 +523,21 @@ class DMT(nn.Module):
         # HBM and layout-converting carries every iteration; unrolling turns
         # those into static slices XLA folds away. Param tree is unchanged
         # (still stacked), so checkpoints are interchangeable across settings.
-        if self.remat_policy not in ("full", "dots"):
+        if self.remat_policy not in ("full", "dots", "none"):
             raise ValueError(f"unknown remat_policy: {self.remat_policy!r}")
-        remat_policy = (
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            if self.remat_policy == "dots"
-            else None  # 'full': recompute everything
-        )
+        if self.remat_policy == "none":
+            block_cls = _BlockWithCollect
+        else:
+            remat_policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if self.remat_policy == "dots"
+                else None  # 'full': recompute everything
+            )
+            block_cls = nn.remat(
+                _BlockWithCollect, static_argnums=(), policy=remat_policy
+            )
         ScannedBlocks = nn.scan(
-            nn.remat(_BlockWithCollect, static_argnums=(), policy=remat_policy),
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.n_layers,

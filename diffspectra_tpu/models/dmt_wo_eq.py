@@ -394,15 +394,19 @@ class DMT_WO_EQ(nn.Module):
 
         # nn.scan + nn.remat over the identical blocks (see models/dmt.py):
         # one compiled block, stacked params, rematerialised backward
-        if self.remat_policy not in ("full", "dots"):
+        if self.remat_policy not in ("full", "dots", "none"):
             raise ValueError(f"unknown remat_policy: {self.remat_policy!r}")
-        remat_policy = (
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            if self.remat_policy == "dots"
-            else None
-        )
+        if self.remat_policy == "none":
+            block_cls = _WoEqBlockWithCollect
+        else:
+            remat_policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if self.remat_policy == "dots"
+                else None
+            )
+            block_cls = nn.remat(_WoEqBlockWithCollect, policy=remat_policy)
         ScannedBlocks = nn.scan(
-            nn.remat(_WoEqBlockWithCollect, policy=remat_policy),
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.n_layers,

@@ -130,17 +130,19 @@ def test_warmup_schedule():
     np.testing.assert_allclose(float(sched(500)), 2e-4, rtol=1e-6)
 
 
-def test_train_step_remat_dots_policy():
-    """remat_policy='dots' (save MXU outputs in the block-scan backward) must
-    produce the same parameter tree and a finite loss — policy only changes
-    what the backward rematerialises, not the math."""
+@pytest.mark.parametrize("policy", ["dots", "none"])
+def test_train_step_remat_policy_variants(policy):
+    """remat_policy='dots' (save MXU outputs in the block-scan backward) and
+    'none' (no remat — scan stacks all residuals) must produce the same
+    parameter tree and a finite loss — policy only changes what the backward
+    rematerialises/saves, not the math."""
     cfg = small_config()
     cfg.model.self_cond = False
     batch = make_batch(jax.random.PRNGKey(1), cfg)
 
     cfg_full = small_config(); cfg_full.model.self_cond = False
     _, state_f, step_f = init_everything(cfg_full, batch)
-    cfg.model.remat_policy = "dots"
+    cfg.model.remat_policy = policy
     _, state_d, step_d = init_everything(cfg, batch)
 
     k = jax.random.PRNGKey(3)
