@@ -1,0 +1,59 @@
+#!/bin/bash
+# Post-training chip-job pipeline for the extended quality run.
+#
+# Waits for the watchdog-managed 500k-step training (tools/tpu_quality_run.py
+# under tools/run_with_watchdog.py, pid in /tmp/watchdog.pid) to finish, then
+# runs the remaining single-chip jobs in value order:
+#   1. full 10k/1000-step eval at the final checkpoint (step 500k = ckpt 20)
+#   2. Top-K protocol (10 candidates, 2k targets, DPM-Solver++ 100 steps)
+#   3. bench.py (north-star JSON line)
+#   4. intermediate-checkpoint evals to extend the budget-scaling table
+# Each job logs under tools/pipeline_logs/. Idempotent-ish: jobs whose log
+# already ends in DONE are skipped, so the pipeline can be relaunched.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p tools/pipeline_logs
+
+wd_pid=$(cat /tmp/watchdog.pid 2>/dev/null || echo "")
+if [ -n "$wd_pid" ]; then
+  echo "pipeline: waiting on watchdog pid $wd_pid"
+  while kill -0 "$wd_pid" 2>/dev/null; do sleep 60; done
+fi
+echo "pipeline: training watchdog exited; starting eval jobs"
+
+run_job() {
+  local name="$1"; shift
+  local log="tools/pipeline_logs/${name}.log"
+  if [ -f "$log" ] && tail -1 "$log" | grep -q "^DONE"; then
+    echo "pipeline: $name already DONE, skipping"
+    return 0
+  fi
+  echo "pipeline: running $name"
+  "$@" > "$log" 2>&1
+  local rc=$?
+  echo "DONE rc=$rc" >> "$log"
+  echo "pipeline: $name finished rc=$rc"
+}
+
+export TRAIN_WORKDIR=/root/repo/exp/quality_run
+export QUALITY_DATA_SIZE=32768
+
+# 1. final checkpoint, reference protocol (10k mols / 1000 ancestral steps)
+run_job eval_ckpt20 env EVAL_CKPT=20 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
+  python tools/tpu_eval_10k.py
+
+# 2. Top-K protocol at the final checkpoint (Top-1/Top-10 headline)
+run_job topk_ckpt20 env EVAL_CKPT=20 EVAL_SAMPLES=2000 EVAL_STEPS=100 \
+  EVAL_METHOD=dpm_solver EVAL_CANDIDATES=10 EVAL_SUB_GEOMETRY=0 \
+  EVAL_SAVE_MOLS=false python tools/tpu_eval_10k.py
+
+# 3. bench (north-star metric)
+run_job bench python bench.py
+
+# 4. intermediate checkpoints for the budget-scaling table (300k, 400k)
+run_job eval_ckpt12 env EVAL_CKPT=12 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
+  EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false python tools/tpu_eval_10k.py
+run_job eval_ckpt16 env EVAL_CKPT=16 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
+  EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false python tools/tpu_eval_10k.py
+
+echo "pipeline: all jobs complete"
