@@ -34,7 +34,10 @@ flags.DEFINE_enum(
     "pretrained checkpoint, ref dmt.py:268-303)",
 )
 flags.DEFINE_string("eval_folder", "eval", "The folder name for storing evaluation results")
-flags.DEFINE_bool("deterministic", False, "Set random seed for reproducibility")
+# default True matches the reference surface (ref main.py:24); JAX PRNG
+# streams are config.seed-derived regardless — this seeds the HOST rngs
+# (numpy/python) used by data shuffling and draw permutations
+flags.DEFINE_bool("deterministic", True, "Set random seed for reproducibility")
 flags.mark_flags_as_required(["workdir", "config", "mode"])
 
 
