@@ -56,4 +56,23 @@ run_job eval_ckpt12 env EVAL_CKPT=12 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
 run_job eval_ckpt16 env EVAL_CKPT=16 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
   EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false python tools/tpu_eval_10k.py
 
+# 5. perf probes (ROADMAP item 5 / VERDICT r1 #6): the untested levers.
+# remat_policy='none' trades HBM for the backward recompute of the block
+# scan — the one step-time knob added last session but never measured.
+rm -rf /root/repo/exp/probe_remat
+run_job probe_remat_none env TRAIN_WORKDIR=/root/repo/exp/probe_remat \
+  TRAIN_STEPS=300 TRAIN_OVERRIDES="model.remat_policy='none'" \
+  python tools/tpu_train_smoke.py
+
+# 6. sampling-batch scaling probe for the north-star metric
+run_job bench_b256 env BENCH_BATCH=256 BENCH_SAMPLES=2560 python bench.py
+
+# 7. known-crashy recompile checks LAST (both have crashed the remote
+# compile helper in past sessions; keep them from poisoning earlier jobs)
+run_job probe_mosaic timeout 1200 python tools/diag_pallas.py
+rm -rf /root/repo/exp/probe_sf_bf16
+run_job probe_sf_bf16 env TRAIN_WORKDIR=/root/repo/exp/probe_sf_bf16 \
+  TRAIN_STEPS=100 TRAIN_OVERRIDES="model.specformer_bf16=True" \
+  timeout 2400 python tools/tpu_train_smoke.py
+
 echo "pipeline: all jobs complete"
