@@ -181,8 +181,12 @@ def main():
                 "value": round(mols_per_sec, 4),
                 "unit": "mols/sec/chip",
                 "vs_baseline": round(mols_per_sec / REF_A100_EST_MOLS_PER_SEC, 2),
-                "model_tflops_per_sec": round(model_tflops, 3),
-                "mfu_bf16_peak": round(mfu, 5),
+                # null (not NaN) when the MFU block was skipped: bare NaN is
+                # invalid JSON and breaks strict parsers of this one-liner
+                "model_tflops_per_sec": (
+                    round(model_tflops, 3) if model_tflops == model_tflops else None
+                ),
+                "mfu_bf16_peak": round(mfu, 5) if mfu == mfu else None,
             }
         )
     )

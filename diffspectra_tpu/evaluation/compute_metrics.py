@@ -273,25 +273,74 @@ def _coerce_pair(true_mol, pred_mol):
     return true_mol, pred_mol
 
 
-def _exact_match(true_mol, pred_mol):
+def _exact_match(true_mol, pred_mol, _cache=None):
     """Graph-identity exact match: InChIKey equality under RDKit (ref
-    compute_metrics.py:222-233), WL-hash equality otherwise."""
+    compute_metrics.py:222-233), WL-hash equality otherwise. Mixed
+    MolGraph/RDKit pairs follow _coerce_pair's semantics: lift the MolGraph
+    side, demote the RDKit side when the lift fails.
+
+    ``_cache``: optional dict shared across calls — the Top-K sweep scores
+    the SAME target against K candidates, and without the memo each call
+    re-ran to_rdkit+SanitizeMol+MolToInchiKey on the target (r2 review)."""
     if true_mol is None or pred_mol is None:
         return False
-    true_mol, pred_mol = _coerce_pair(true_mol, pred_mol)
-    if isinstance(true_mol, MolGraph) or not HAS_RDKIT:
+    if not HAS_RDKIT:
         try:
             return true_mol.wl_hash() == pred_mol.wl_hash()
         except Exception:
             return False
+
+    cache = _cache if _cache is not None else {}
+
+    def memo(kind, mol, fn):
+        key = (kind, id(mol))
+        if key not in cache:
+            try:
+                cache[key] = fn(mol)
+            except Exception:
+                cache[key] = None
+        return cache[key]
+
     from rdkit import Chem
 
-    try:
-        Chem.SanitizeMol(true_mol)
-        Chem.SanitizeMol(pred_mol)
-        return Chem.MolToInchiKey(true_mol) == Chem.MolToInchiKey(pred_mol)
-    except Exception:
-        return False
+    from .cal_geometry import _to_molgraph
+    from .molgraph import to_rdkit
+
+    def lift(mg):
+        m = to_rdkit(mg)
+        Chem.SanitizeMol(m)
+        return m
+
+    def inchi(m):
+        Chem.SanitizeMol(m)
+        return Chem.MolToInchiKey(m)
+
+    def wl(m):
+        return m.wl_hash()
+
+    t_graph = isinstance(true_mol, MolGraph)
+    p_graph = isinstance(pred_mol, MolGraph)
+    if t_graph and p_graph:
+        th, ph = memo("wl", true_mol, wl), memo("wl", pred_mol, wl)
+        return th is not None and th == ph
+    if t_graph != p_graph:
+        graph_side, rdkit_side = (
+            (true_mol, pred_mol) if t_graph else (pred_mol, true_mol)
+        )
+        lifted = memo("lift", graph_side, lift)
+        if lifted is None:  # unsanitizable graph: demote the RDKit side
+            demoted = memo("demote", rdkit_side, _to_molgraph)
+            if demoted is None:
+                return False
+            gh = memo("wl", graph_side, wl)
+            dh = memo("wl", demoted, wl)
+            return gh is not None and gh == dh
+        ti = memo("inchi", lifted, inchi)
+        pi = memo("inchi", rdkit_side, inchi)
+        return ti is not None and ti == pi
+    ti = memo("inchi", true_mol, inchi)
+    pi = memo("inchi", pred_mol, inchi)
+    return ti is not None and ti == pi
 
 
 def top_k_exact_match(true_mols, pred_lists):
@@ -300,11 +349,12 @@ def top_k_exact_match(true_mols, pred_lists):
     Top-10 headline, README.md:15 — its repo only scores Top-1 per pair,
     compute_metrics.py:205-233; the multi-candidate sweep lives here)."""
     hits, n = 0, 0
+    cache: dict = {}  # memoizes per-target lift/sanitize/InChIKey across K
     for t, preds in zip(true_mols, pred_lists):
         if t is None:
             continue
         n += 1
-        if any(_exact_match(t, p) for p in preds):
+        if any(_exact_match(t, p, _cache=cache) for p in preds):
             hits += 1
     return hits / max(n, 1)
 
@@ -353,6 +403,9 @@ def evaluate_jsonl_predictions(input_data, output_csv: str):
 
     rows = {k: [] for k in ("inchikey_match", "mces", "tanimoto",
                              "tanimoto_maccs", "cosine", "fraggle", "fg")}
+    from . import mces as _mces_mod
+
+    mces_exhausted_before = _mces_mod.EXHAUSTED_PAIRS
     for true_mol, pred_entry in zip(true_mols, pred_mols):
         pred_mol = pred_entry[0] if isinstance(pred_entry, list) else pred_entry
         true_mol, pred_mol = _coerce_pair(true_mol, pred_mol)
@@ -362,6 +415,14 @@ def evaluate_jsonl_predictions(input_data, output_csv: str):
             scores = _pair_scores_rdkit(true_mol, pred_mol, solver)
         for k, v in scores.items():
             rows[k].append(v)
+
+    exhausted = _mces_mod.EXHAUSTED_PAIRS - mces_exhausted_before
+    if exhausted:
+        logging.warning(
+            "MCES: %d/%d pairs hit the B&B budget — their distances are "
+            "incumbent upper bounds, the reported mean is an upper bound",
+            exhausted, len(true_mols),
+        )
 
     n = len(true_mols)
     matches = [b for b in rows["inchikey_match"] if b is not None]

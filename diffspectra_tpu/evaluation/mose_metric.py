@@ -141,9 +141,11 @@ def _canonical_smiles(mols) -> list:
     return out
 
 
-def _chemnet_fcd(gen_graphs, ptest, gen_mols) -> float:
+def _chemnet_fcd(gen_graphs, ptest, gen_mols, gen_smiles=None) -> float:
     """Real ChemNet FCD; NaN unless RDKit + converted weights are present
-    (chemnet.py documents the weight-installation path)."""
+    (chemnet.py documents the weight-installation path). ``gen_smiles``:
+    pre-canonicalised generated SMILES, to share the sanitize pass with the
+    SNN/IntDiv path instead of re-running it over the whole set."""
     ref_smiles = ptest.get("smiles", [])
     if not ref_smiles:
         return float("nan")
@@ -151,7 +153,9 @@ def _chemnet_fcd(gen_graphs, ptest, gen_mols) -> float:
 
     if load_default() is None:
         return float("nan")
-    return fcd_from_smiles(_canonical_smiles(gen_mols), ref_smiles)
+    if gen_smiles is None:
+        gen_smiles = _canonical_smiles(gen_mols)
+    return fcd_from_smiles(gen_smiles, ref_smiles)
 
 
 def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int = 2000, ptest_pool=None):
@@ -172,6 +176,14 @@ def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int =
             }
         pgen = _precalc(gen_graphs)
 
+        # one canonicalisation pass shared by ChemNet FCD and SNN/IntDiv
+        # (each is a full sanitize+MolToSmiles sweep over the generated set)
+        gen_smiles_all = (
+            _canonical_smiles(gen_mols)
+            if HAS_RDKIT and ptest.get("smiles")
+            else None
+        )
+
         # FCD_proxy: Frechet distance over structural descriptors. The 'FCD'
         # key is reserved for the real ChemNet metric (chemnet.py) so proxy
         # numbers can never be mistaken for published-comparable FCD.
@@ -179,15 +191,15 @@ def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int =
             metrics["FCD_proxy"] = FP.frechet_distance(pgen["desc"], ptest["desc"])
         except Exception:
             metrics["FCD_proxy"] = float("nan")
-        metrics["FCD"] = _chemnet_fcd(gen_graphs, ptest, gen_mols)
+        metrics["FCD"] = _chemnet_fcd(gen_graphs, ptest, gen_mols, gen_smiles_all)
 
         # SNN / IntDiv over the FULL sets (round 1 capped at 2000/1000 —
         # silently off-protocol; now blockwise matmuls make full sets cheap).
-        if HAS_RDKIT and ptest.get("smiles"):
+        if gen_smiles_all is not None:
             # dedup matches the reference protocol (ref mose_metric.py:105-108
             # runs set() over gen SMILES before SNN/Frag/Scaf/IntDiv; upstream
             # moses would keep duplicates — the reference is the spec here)
-            gen_smiles = sorted(set(_canonical_smiles(gen_mols)))
+            gen_smiles = sorted(set(gen_smiles_all))
             gen_mat = _morgan_matrix(gen_smiles)
             ref_mat = ptest.get("morgan")
             if ref_mat is None:

@@ -220,8 +220,24 @@ def get_2D_edm_metric(dataset_info, train_mols=None):
 def _train_references(train_mols):
     if train_mols is None:
         return None, None
-    if HAS_RDKIT and train_mols and not isinstance(train_mols[0], MolGraph):
-        return [Chem.MolToSmiles(m) for m in train_mols], None
+    if HAS_RDKIT and train_mols:
+        if not isinstance(train_mols[0], MolGraph):
+            return [Chem.MolToSmiles(m) for m in train_mols], None
+        # MolGraph references under RDKit (run_lib builds reference sets
+        # from raw arrays): lift to SMILES so eval_rdmol's novelty actually
+        # compares — returning only wl hashes here left train_smiles=None
+        # and novelty silently 0.0 in every RDKit deployment
+        from .molgraph import to_rdkit
+
+        smiles = []
+        for mg in train_mols:
+            try:
+                m = to_rdkit(mg)
+                Chem.SanitizeMol(m)
+                smiles.append(Chem.MolToSmiles(m))
+            except Exception:
+                continue
+        return smiles, None
     if train_mols and isinstance(train_mols[0], MolGraph):
         return None, {m.wl_hash() for m in train_mols}
     return None, None

@@ -606,6 +606,25 @@ class DMT(nn.Module):
         return jnp.concatenate([pos, atom_pred], axis=2), edge_final
 
 
+def _cond_encoder_module(model) -> SpecFormer:
+    """The SpecFormer submodule EXACTLY as DMT's in-graph call site
+    constructs it (incl. the ``specformer_bf16`` dtype gate) — single source
+    of truth for the hoisted encoding paths below, so the in-graph and
+    out-of-graph encodings can't drift."""
+    hidden = getattr(model, "hidden_dim", None) or getattr(model, "nf")
+    return SpecFormer(
+        patch_len=model.patch_len,
+        stride=model.stride,
+        output_dim=hidden,
+        spectra_version=model.spectra_version,
+        dtype=(
+            model.dtype
+            if getattr(model, "specformer_bf16", False)
+            else jnp.float32
+        ),
+    )
+
+
 def encode_context_train(model, params, batch_stats, context, rng):
     """Train-mode spectra encoding for the self-conditioning double call.
 
@@ -625,18 +644,7 @@ def encode_context_train(model, params, batch_stats, context, rng):
     ``new_batch_stats`` is ``batch_stats`` with the ``cond_encoder`` subtree
     replaced by the mutated statistics.
     """
-    hidden = getattr(model, "hidden_dim", None) or getattr(model, "nf")
-    spec = SpecFormer(
-        patch_len=model.patch_len,
-        stride=model.stride,
-        output_dim=hidden,
-        spectra_version=model.spectra_version,
-        dtype=(
-            model.dtype
-            if getattr(model, "specformer_bf16", False)
-            else jnp.float32
-        ),
-    )
+    spec = _cond_encoder_module(model)
     sub = {"params": params["cond_encoder"]}
     if batch_stats and "cond_encoder" in batch_stats:
         sub["batch_stats"] = batch_stats["cond_encoder"]
@@ -674,13 +682,7 @@ def encode_context(model: DMT, variables, context, deterministic: bool = True):
     directly on their parameter subtrees so samplers can hoist the (time
     independent) spectra encoding out of the 1000-step reverse loop.
     """
-    hidden = getattr(model, "hidden_dim", None) or getattr(model, "nf")
-    spec = SpecFormer(
-        patch_len=model.patch_len,
-        stride=model.stride,
-        output_dim=hidden,
-        spectra_version=model.spectra_version,
-    )
+    spec = _cond_encoder_module(model)
     sub = {"params": variables["params"]["cond_encoder"]}
     bstats = variables.get("batch_stats", {})
     if bstats and "cond_encoder" in bstats:

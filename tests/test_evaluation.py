@@ -243,6 +243,52 @@ def test_exact_match_rdkit_mode_stubbed(monkeypatch):
     assert calls == ["AAA", "AAA", "AAA", "BBB"]
 
 
+def test_train_references_lift_molgraphs_under_rdkit(monkeypatch):
+    """Regression (r2 review): with RDKit installed, MolGraph train
+    references (run_lib builds them from raw arrays) were returned as
+    wl-hashes only, so eval_rdmol got train_smiles=None and Novelty was
+    silently 0.0 in every RDKit deployment."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from diffspectra_tpu.evaluation import molgraph as MG
+    from diffspectra_tpu.evaluation import stability as ST
+
+    class _FakeMol:
+        def __init__(self, key):
+            self.key = key
+
+    chem = types.SimpleNamespace(
+        SanitizeMol=lambda m: None,
+        MolToSmiles=lambda m: m.key,
+    )
+    fake_rdkit = types.ModuleType("rdkit")
+    fake_rdkit.Chem = chem
+    monkeypatch.setitem(sys.modules, "rdkit", fake_rdkit)
+    monkeypatch.setattr(ST, "HAS_RDKIT", True)
+    monkeypatch.setattr(ST, "Chem", chem, raising=False)
+    monkeypatch.setattr(
+        MG, "to_rdkit", lambda mg: _FakeMol("".join(sorted(mg.atom_syms)))
+    )
+
+    bonds = np.zeros((3, 3), int)
+    bonds[0, 1] = bonds[1, 0] = 1
+    bonds[1, 2] = bonds[2, 1] = 1
+    graphs = [
+        MG.MolGraph(["C", "C", "O"], np.zeros(3, int), bonds),
+        MG.MolGraph(["C", "C", "N"], np.zeros(3, int), bonds),
+    ]
+    smiles, hashes = ST._train_references(graphs)
+    assert smiles == ["CCO", "CCN"]
+    assert hashes is None
+    # RDKit-mol references unchanged; no-RDKit path still hashes
+    monkeypatch.setattr(ST, "HAS_RDKIT", False)
+    smiles, hashes = ST._train_references(graphs)
+    assert smiles is None and len(hashes) == 2
+
+
 def test_exact_match_mixed_molgraph_rdkit_pair(monkeypatch):
     """Regression (r2 review): run_lib's Top-K targets are MolGraphs while
     stability returns RDKit mols in RDKit deployments; _exact_match must

@@ -121,5 +121,31 @@ def test_max_common_edges_direct():
     hexane = chain("CCCCCC", [1] * 5)
     s1, b1 = _heavy_graph(benz)
     s2, b2 = _heavy_graph(hexane)
-    assert max_common_edges(s1, b1, s2, b2) == 0
+    assert max_common_edges(s1, b1, s2, b2) == (0, True)
     assert mces_distance(benz, hexane) == 11.0
+
+
+def test_budget_exhaustion_returns_incumbent_upper_bound(monkeypatch):
+    """On node-budget exhaustion the distance must come from the incumbent
+    (an UPPER bound on the exact distance) — not the multiset proxy, whose
+    lower-bound values were incomparable — and the event must be counted."""
+    from diffspectra_tpu.evaluation import mces as mces_mod
+
+    # two 6-chains with one bond-order difference: exact d = 2
+    a = chain("CCCCCC", [1, 1, 1, 1, 1])
+    b = chain("CCCCCC", [2, 1, 1, 1, 1])
+    exact_d = mces_distance(a, b)
+    assert exact_d == 2.0
+
+    monkeypatch.setattr(mces_mod, "_MAX_NODES", 1)
+    before = mces_mod.EXHAUSTED_PAIRS
+    d = mces_mod.mces_distance(a, b)
+    assert mces_mod.EXHAUSTED_PAIRS == before + 1
+    # upper bound on the exact distance, and still a sane distance value
+    assert d >= exact_d
+    s1, b1 = _heavy_graph(a)
+    s2, b2 = _heavy_graph(b)
+    assert d <= 2 * 5  # never worse than "nothing in common"
+    # the greedy seed already realizes a common subgraph, so the incumbent
+    # bound must beat the trivial e1+e2 value
+    assert d < 10.0

@@ -117,7 +117,10 @@ def main():
     if pkg == "fcd_torch":
         fcd_obj = fcd_mod.FCD(device="cpu", n_jobs=1)
         torch_model = fcd_obj.model
-        vocab = list(fcd_mod.utils.get_one_hot.__defaults__ or []) or None
+        # the vocabulary lives in utils (checked below); there is no sane
+        # fallback on the FCD object itself — get_one_hot.__defaults__ holds
+        # default ARGUMENT values (e.g. pad_len), not a vocab
+        vocab = None
         from fcd_torch.utils import SmilesDataset  # noqa: F401
     else:
         torch_model = fcd_mod.load_ref_model()
@@ -145,10 +148,9 @@ def main():
     from diffspectra_tpu.evaluation.chemnet import ChemNet, one_hot_batch
 
     net = ChemNet(manifest, {k: np.asarray(v) for k, v in params.items()})
-    net.save(args.out)
-    print(f"wrote {args.out}: {len(entries)} layers, vocab={len(vocab)}")
 
-    # parity check torch vs jax
+    # parity check torch vs jax BEFORE writing: a half-converted npz on disk
+    # is worse than none (run_lib picks it up silently)
     import torch
 
     ours = net.features(args.check_smiles, batch_size=len(args.check_smiles))
@@ -158,6 +160,9 @@ def main():
     delta = float(np.abs(ours - theirs).max())
     print(f"torch-vs-jax max |delta| = {delta:.2e}")
     assert delta < 1e-4, "conversion parity check failed"
+
+    net.save(args.out)
+    print(f"wrote {args.out}: {len(entries)} layers, vocab={len(vocab)}")
 
 
 if __name__ == "__main__":

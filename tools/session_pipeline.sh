@@ -24,7 +24,7 @@ echo "pipeline: training watchdog exited; starting eval jobs"
 run_job() {
   local name="$1"; shift
   local log="tools/pipeline_logs/${name}.log"
-  if [ -f "$log" ] && tail -1 "$log" | grep -q "^DONE"; then
+  if [ -f "$log" ] && tail -1 "$log" | grep -q "^DONE rc=0"; then
     echo "pipeline: $name already DONE, skipping"
     return 0
   fi
