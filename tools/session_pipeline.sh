@@ -38,23 +38,26 @@ run_job() {
 export TRAIN_WORKDIR=/root/repo/exp/quality_run
 export QUALITY_DATA_SIZE=32768
 
+# Per-job timeouts: eval jobs run without the training watchdog, and the
+# TPU transport can wedge mid-run — a hung job must not eat the session.
+
 # 1. final checkpoint, reference protocol (10k mols / 1000 ancestral steps)
 run_job eval_ckpt20 env EVAL_CKPT=20 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
-  python tools/tpu_eval_10k.py
+  timeout 7200 python tools/tpu_eval_10k.py
 
 # 2. Top-K protocol at the final checkpoint (Top-1/Top-10 headline)
 run_job topk_ckpt20 env EVAL_CKPT=20 EVAL_SAMPLES=2000 EVAL_STEPS=100 \
   EVAL_METHOD=dpm_solver EVAL_CANDIDATES=10 EVAL_SUB_GEOMETRY=0 \
-  EVAL_SAVE_MOLS=false python tools/tpu_eval_10k.py
+  EVAL_SAVE_MOLS=false timeout 5400 python tools/tpu_eval_10k.py
 
 # 3. bench (north-star metric)
-run_job bench python bench.py
+run_job bench timeout 3600 python bench.py
 
 # 4. intermediate checkpoints for the budget-scaling table (300k, 400k)
 run_job eval_ckpt12 env EVAL_CKPT=12 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
-  EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false python tools/tpu_eval_10k.py
+  EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false timeout 5400 python tools/tpu_eval_10k.py
 run_job eval_ckpt16 env EVAL_CKPT=16 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
-  EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false python tools/tpu_eval_10k.py
+  EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false timeout 5400 python tools/tpu_eval_10k.py
 
 # 5. perf probes (ROADMAP item 5 / VERDICT r1 #6): the untested levers.
 # remat_policy='none' trades HBM for the backward recompute of the block
@@ -62,10 +65,10 @@ run_job eval_ckpt16 env EVAL_CKPT=16 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
 rm -rf /root/repo/exp/probe_remat
 run_job probe_remat_none env TRAIN_WORKDIR=/root/repo/exp/probe_remat \
   TRAIN_STEPS=300 TRAIN_OVERRIDES="model.remat_policy='none'" \
-  python tools/tpu_train_smoke.py
+  timeout 3600 python tools/tpu_train_smoke.py
 
 # 6. sampling-batch scaling probe for the north-star metric
-run_job bench_b256 env BENCH_BATCH=256 BENCH_SAMPLES=2560 python bench.py
+run_job bench_b256 env BENCH_BATCH=256 BENCH_SAMPLES=2560 timeout 5400 python bench.py
 
 # 7. known-crashy recompile checks LAST (both have crashed the remote
 # compile helper in past sessions; keep them from poisoning earlier jobs)
