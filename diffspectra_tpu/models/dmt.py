@@ -25,6 +25,7 @@ from ..utils.registry import register_model
 from .layers import (
     CondGaussianLayer,
     CoorsNorm,
+    DenseParams,
     DenseTransMixLayer,
     GaussianLayer,
     LearnedSinusoidalPosEmb,
@@ -45,6 +46,7 @@ class MultiCondEquiUpdate(nn.Module):
     time_dim: int
     extra_heads: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, pos, edge_attr, dist, time_emb, adj_extra, edge_mask):
@@ -78,6 +80,43 @@ class MultiCondEquiUpdate(nn.Module):
         w_d = kernel[2 * D + edge_attr.shape[-1] :]
         node_i = h @ w_hi  # [B, N, hidden]
         node_j = h @ w_hj
+
+        if time_emb is not None:
+            # NB chunk order here is (shift, scale) — ref models/dmt.py:44
+            ss = nn.Dense(self.hidden_dim * 2, dtype=self.dtype, name="time_mlp")(
+                nn.silu(time_emb.astype(self.dtype))
+            )
+            shift, scale = jnp.split(ss, 2, axis=-1)
+        else:
+            shift = scale = None
+
+        # coord_mlp params are declared raw (same names/inits as nn.Dense)
+        # so the XLA path and the fused Pallas kernel share one param set
+        k0, b0 = DenseParams(
+            self.hidden_dim, self.hidden_dim, name="coord_mlp_0"
+        )()
+        k1, _ = DenseParams(
+            self.hidden_dim, 1 + self.extra_heads, use_bias=False,
+            name="coord_mlp_1",
+        )()
+
+        if self.use_pallas:
+            # fused pair-grid chain: edge/dist read from HBM once, the three
+            # [B,N,N,Dh] intermediates live only in VMEM (PALLAS.md)
+            from ..ops.pallas_equi_update import equi_update_fused
+
+            zeros = jnp.zeros((B, self.hidden_dim), jnp.float32)
+            agg = equi_update_fused(
+                node_i, node_j,
+                edge_attr.astype(self.dtype), dist.astype(self.dtype),
+                coord_diff, adj_extra.astype(jnp.float32), edge_mask,
+                w_e, w_d, bias,
+                zeros if shift is None else shift.astype(jnp.float32),
+                zeros if scale is None else scale.astype(jnp.float32),
+                k0, b0, k1,
+            )
+            return pos + agg
+
         inv = (
             node_i[:, :, None, :]
             + node_j[:, None, :, :]
@@ -87,17 +126,10 @@ class MultiCondEquiUpdate(nn.Module):
         )
         inv = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ln")(inv)
         if time_emb is not None:
-            # NB chunk order here is (shift, scale) — ref models/dmt.py:44
-            ss = nn.Dense(self.hidden_dim * 2, dtype=self.dtype, name="time_mlp")(
-                nn.silu(time_emb.astype(self.dtype))
-            )
-            shift, scale = jnp.split(ss, 2, axis=-1)
             inv = modulate(inv, shift[:, None, None, :], scale[:, None, None, :])
-        inv = nn.Dense(self.hidden_dim, dtype=self.dtype, name="coord_mlp_0")(inv)
+        inv = inv @ k0.astype(self.dtype) + b0.astype(self.dtype)
         inv = nn.silu(inv)
-        inv = nn.Dense(
-            1 + self.extra_heads, use_bias=False, dtype=self.dtype, name="coord_mlp_1"
-        )(inv)
+        inv = inv @ k1.astype(self.dtype)
         inv = jnp.tanh(inv).astype(jnp.float32)
 
         # multi-channel adjacency gating: [1, adj_extra...] mean over channels
@@ -251,6 +283,7 @@ class EquivariantMixBlock(nn.Module):
             self.time_dim,
             self.num_extra_heads,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="equi_update",
         )(h_out, pos, h_edge_out, distance, edge_time_emb, extra_heads, edge_mask)
 

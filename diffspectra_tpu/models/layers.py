@@ -97,6 +97,35 @@ class CondGaussianLayer(nn.Module):
         return jnp.concatenate([x, _gaussian(x, means, std)], axis=-1)
 
 
+class DenseParams(nn.Module):
+    """Declare nn.Dense-shaped parameters (kernel[, bias]) WITHOUT applying
+    them, under the exact variable names/inits nn.Dense would use — so one
+    parameter set (and existing checkpoints) can be shared between an XLA
+    path that applies them with a plain matmul and a Pallas kernel path
+    that consumes the raw arrays."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class CoorsNorm(nn.Module):
     """Normalise coordinate vectors to unit length times a learned scale
     (ref: models/layers.py:337-347)."""

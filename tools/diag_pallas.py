@@ -45,3 +45,48 @@ try:
     log(f"max abs diff {err:.5f}")
 except Exception:
     pass
+
+# ---- second kernel: fused equi-update chain (ops/pallas_equi_update.py)
+from diffspectra_tpu.ops.pallas_equi_update import (
+    equi_update_fused, equi_update_reference,
+)
+
+DH, DE2, DD2, A = 256, 64, 64, 2
+ks2 = jax.random.split(jax.random.PRNGKey(1), 15)
+eq_args = (
+    jax.random.normal(ks2[0], (B, N, DH), jnp.bfloat16),
+    jax.random.normal(ks2[1], (B, N, DH), jnp.bfloat16),
+    jax.random.normal(ks2[2], (B, N, N, DE2), jnp.bfloat16),
+    jnp.abs(jax.random.normal(ks2[3], (B, N, N, DD2), jnp.bfloat16)),
+    jax.random.normal(ks2[4], (B, N, N, 3)) * 0.1,
+    (jax.random.uniform(ks2[5], (B, N, N, A)) > 0.5).astype(jnp.float32),
+    edge_mask,
+    jax.random.normal(ks2[6], (DE2, DH)) * 0.1,
+    jax.random.normal(ks2[7], (DD2, DH)) * 0.1,
+    jax.random.normal(ks2[8], (DH,)) * 0.1,
+    jax.random.normal(ks2[9], (B, DH)) * 0.1,
+    jax.random.normal(ks2[10], (B, DH)) * 0.1,
+    jax.random.normal(ks2[11], (DH, DH)) * 0.1,
+    jax.random.normal(ks2[12], (DH,)) * 0.1,
+    jax.random.normal(ks2[13], (DH, 1 + A)) * 0.3,
+)
+fe_pallas = jax.jit(lambda *a: equi_update_fused(*a, batch_tile=2))
+fe_ref = jax.jit(lambda *a: equi_update_reference(*a))
+try:
+    t0 = time.time(); eq_p = fe_pallas(*eq_args); jax.block_until_ready(eq_p)
+    log("equi pallas compile+run %.1fs" % (time.time() - t0))
+    t0 = time.time()
+    for _ in range(20): eq_p = fe_pallas(*eq_args)
+    jax.block_until_ready(eq_p); log("equi pallas 20x run %.4fs" % (time.time() - t0))
+except Exception as e:
+    log(f"EQUI PALLAS FAILED: {type(e).__name__}: {str(e)[:500]}")
+t0 = time.time(); eq_r = fe_ref(*eq_args); jax.block_until_ready(eq_r)
+log("equi ref compile+run %.1fs" % (time.time() - t0))
+t0 = time.time()
+for _ in range(20): eq_r = fe_ref(*eq_args)
+jax.block_until_ready(eq_r); log("equi ref 20x run %.4fs" % (time.time() - t0))
+try:
+    err = float(jnp.max(jnp.abs(eq_p - eq_r)))
+    log(f"equi max abs diff {err:.5f}")
+except Exception:
+    pass
