@@ -38,26 +38,32 @@ run_job() {
 export TRAIN_WORKDIR=/root/repo/exp/quality_run
 export QUALITY_DATA_SIZE=32768
 
+# FINAL_CKPT: number of the last numbered checkpoint the (possibly
+# outage-shortened) training produced — set by resume_train_and_pipeline.sh
+FC="${FINAL_CKPT:-20}"
+
 # Per-job timeouts: eval jobs run without the training watchdog, and the
 # TPU transport can wedge mid-run — a hung job must not eat the session.
 
 # 1. final checkpoint, reference protocol (10k mols / 1000 ancestral steps)
-run_job eval_ckpt20 env EVAL_CKPT=20 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
+run_job eval_ckpt_final env EVAL_CKPT="$FC" EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
   timeout 7200 python tools/tpu_eval_10k.py
 
 # 2. Top-K protocol at the final checkpoint (Top-1/Top-10 headline)
-run_job topk_ckpt20 env EVAL_CKPT=20 EVAL_SAMPLES=2000 EVAL_STEPS=100 \
+run_job topk_ckpt_final env EVAL_CKPT="$FC" EVAL_SAMPLES=2000 EVAL_STEPS=100 \
   EVAL_METHOD=dpm_solver EVAL_CANDIDATES=10 EVAL_SUB_GEOMETRY=0 \
   EVAL_SAVE_MOLS=false timeout 5400 python tools/tpu_eval_10k.py
 
 # 3. bench (north-star metric)
 run_job bench timeout 3600 python bench.py
 
-# 4. intermediate checkpoints for the budget-scaling table (300k, 400k)
-run_job eval_ckpt12 env EVAL_CKPT=12 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
-  EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false timeout 5400 python tools/tpu_eval_10k.py
-run_job eval_ckpt16 env EVAL_CKPT=16 EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
-  EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false timeout 5400 python tools/tpu_eval_10k.py
+# 4. intermediate checkpoints for the budget-scaling table
+for ck in 12 16; do
+  [ "$ck" -ge "$FC" ] && continue
+  [ -d "$TRAIN_WORKDIR/checkpoints/checkpoint_$ck" ] || continue
+  run_job "eval_ckpt$ck" env EVAL_CKPT="$ck" EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
+    EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false timeout 5400 python tools/tpu_eval_10k.py
+done
 
 # 5. perf probes (ROADMAP item 5 / VERDICT r1 #6): the untested levers.
 # remat_policy='none' trades HBM for the backward recompute of the block
