@@ -31,10 +31,16 @@ def _load_library() -> Optional[ctypes.CDLL]:
         return _lib
     _lib_tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
+        # always invoke make: it is timestamp-idempotent, and a stale .so
+        # (built before a source file was added) would otherwise be loaded
+        # forever; a failed make with a usable existing .so is tolerated
+        try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR, "-s"], check=True, capture_output=True
             )
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
+                raise
         lib = ctypes.CDLL(_LIB_PATH)
         assert lib.packer_abi_version() == 1
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

@@ -42,6 +42,42 @@ _MAX_NODES = 2_000_000
 # upper-bound distances with exact ones is never a silent protocol change
 EXHAUSTED_PAIRS = 0
 
+_native = None
+_native_tried = False
+
+
+def _load_native():
+    """C++ twin of the branch-and-bound (native/mces.cc, same .so as the
+    batch packer). The Python search is the 10k-pair eval's hot host loop;
+    the native one is the production path, Python the fallback/oracle."""
+    global _native, _native_tried
+    if _native_tried:
+        return _native
+    _native_tried = True
+    try:
+        import ctypes
+
+        from ..data.native import _load_library
+
+        lib = _load_library()
+        if lib is None or not hasattr(lib, "mces_max_common_edges"):
+            _native = None
+            return None
+        assert lib.mces_abi_version() == 1
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.mces_max_common_edges.argtypes = [
+            ctypes.c_int64, i64p, i64p,
+            ctypes.c_int64, i64p, i64p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.mces_max_common_edges.restype = None
+        _native = lib
+    except Exception as e:  # pragma: no cover - toolchain-less environments
+        logging.info("native mces unavailable (%s); using python search", e)
+        _native = None
+    return _native
+
 
 def _heavy_graph(mol: MolGraph) -> Tuple[List[str], np.ndarray]:
     """Heavy-atom element list + bond-order matrix (H stripped)."""
@@ -90,7 +126,33 @@ def max_common_edges(
     Returns ``(best, exact)``: ``best`` is always the size of a REALIZED
     common subgraph (a valid lower bound on |MCES|); ``exact`` is False when
     the node budget ran out before the search space was closed.
+
+    Dispatches to the C++ twin (native/mces.cc) when built; the Python
+    search below is the fallback and the parity oracle (tests/test_mces.py).
     """
+    lib = _load_native()
+    if lib is not None:
+        import ctypes
+
+        labels = {s: i for i, s in enumerate(dict.fromkeys(list(syms1) + list(syms2)))}
+        s1 = np.asarray([labels[s] for s in syms1], np.int64)
+        s2 = np.asarray([labels[s] for s in syms2], np.int64)
+        b1 = np.ascontiguousarray(bo1, np.int64)
+        b2 = np.ascontiguousarray(bo2, np.int64)
+        best = ctypes.c_int64(0)
+        exact = ctypes.c_int64(0)
+        lib.mces_max_common_edges(
+            len(s1), s1, b1.reshape(-1), len(s2), s2, b2.reshape(-1),
+            _MAX_NODES, ctypes.byref(best), ctypes.byref(exact),
+        )
+        return int(best.value), bool(exact.value)
+    return _max_common_edges_py(syms1, bo1, syms2, bo2)
+
+
+def _max_common_edges_py(
+    syms1: List[str], bo1: np.ndarray, syms2: List[str], bo2: np.ndarray
+) -> Tuple[int, bool]:
+    """Pure-Python branch-and-bound (see max_common_edges)."""
     if len(syms1) > len(syms2) or (
         len(syms1) == len(syms2) and _edge_count(bo1) > _edge_count(bo2)
     ):

@@ -125,6 +125,64 @@ def test_max_common_edges_direct():
     assert mces_distance(benz, hexane) == 11.0
 
 
+def test_native_matches_python_search():
+    """native/mces.cc is the production path; the Python search is the
+    oracle. Parity over random labelled graphs (both the |MCES| value and
+    exactness flag)."""
+    from diffspectra_tpu.evaluation import mces as mces_mod
+
+    if mces_mod._load_native() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        def rand(n_lo, n_hi):
+            n = int(rng.integers(n_lo, n_hi))
+            syms = [str(s) for s in rng.choice(["C", "N", "O", "F"], size=n)]
+            bo = np.zeros((n, n), dtype=np.int64)
+            for i in range(1, n):
+                j = int(rng.integers(0, i))
+                bo[i, j] = bo[j, i] = int(rng.integers(1, 5))
+            for _ in range(int(rng.integers(0, 4))):
+                i, j = rng.integers(0, n, size=2)
+                if i != j:
+                    bo[i, j] = bo[j, i] = int(rng.integers(1, 5))
+            return syms, bo
+
+        s1, b1 = rand(2, 10)
+        s2, b2 = rand(2, 10)
+        native = mces_mod.max_common_edges(s1, b1, s2, b2)
+        py = mces_mod._max_common_edges_py(s1, b1, s2, b2)
+        assert native == py, (s1, s2)
+
+
+def test_native_handles_larger_synthetic_molecules_fast():
+    """The 12-heavy-atom pairs that pushed the Python search to seconds
+    (committed eval log) must close instantly natively."""
+    import time
+
+    from diffspectra_tpu.evaluation import mces as mces_mod
+
+    if mces_mod._load_native() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    n = 12
+    syms = [str(s) for s in rng.choice(["C", "C", "C", "N", "O"], size=n)]
+    bo = np.zeros((n, n), dtype=np.int64)
+    for i in range(1, n):
+        j = int(rng.integers(0, i))
+        bo[i, j] = bo[j, i] = int(rng.integers(1, 3))
+    m1 = MolGraph(syms, np.zeros(n, int), bo)
+    bo2 = bo.copy()
+    bo2[0, 1] = bo2[1, 0] = 3  # one bond-order difference
+    m2 = MolGraph(syms, np.zeros(n, int), bo2)
+    t0 = time.time()
+    d = mces_distance(m1, m2)
+    assert time.time() - t0 < 2.0
+    assert d == 2.0
+
+
 def test_budget_exhaustion_returns_incumbent_upper_bound(monkeypatch):
     """On node-budget exhaustion the distance must come from the incumbent
     (an UPPER bound on the exact distance) — not the multiset proxy, whose
