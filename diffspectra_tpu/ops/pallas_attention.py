@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -117,7 +118,7 @@ def mix_attention_reference(q, k, v, edge_attr, w0, w1, extra, edge_mask,
 
 
 def mix_attention(q, k, v, edge_attr, w0, w1, extra, edge_mask, *,
-                  set_inf=True, batch_tile: int = 2, interpret=False):
+                  set_inf=True, batch_tile: int = 2, interpret=None):
     """Fused mixed attention. Shapes:
     q,k [B,N,E,sc] / v [B,N,H,C] / edge_attr [B,N,N,De] / w0 [De,E*sc] /
     w1 [De,H*C] / extra [B,N,N,n_extra] / edge_mask [B,N,N]
@@ -127,6 +128,11 @@ def mix_attention(q, k, v, edge_attr, w0, w1, extra, edge_mask, *,
     VMEM budget (PALLAS.md VMEM table); r1's tile of 8 was
     interpret-mode-tuned and over budget on hardware.
     """
+    if interpret is None:
+        # lets CPU environments (tests, dev boxes) exercise the REAL
+        # use_pallas dispatch path end-to-end in interpret mode
+        interpret = os.environ.get("DIFFSPECTRA_PALLAS_INTERPRET", "") == "1"
+
     B, N, n_sub, sub_c = q.shape
     n_heads, out_ch = v.shape[2], v.shape[3]
     n_extra = extra.shape[-1]

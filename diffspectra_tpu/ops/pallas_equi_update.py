@@ -38,6 +38,7 @@ path. VMEM budget: see the table in PALLAS.md (bb=2 ~= 9.3MB < 16MB v5e).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -128,7 +129,7 @@ def equi_update_reference(node_i, node_j, edge_attr, dist, normed_diff,
 def equi_update_fused(node_i, node_j, edge_attr, dist, normed_diff,
                       adj_extra, edge_mask, w_e, w_d, bias, shift, scale,
                       w0, b0, w1, *, eps_ln: float = 1e-6,
-                      batch_tile: int = 2, interpret: bool = False):
+                      batch_tile: int = 2, interpret=None):
     """Fused equi-update chain. Shapes:
     node_i/node_j [B,N,Dh] / edge_attr [B,N,N,De] / dist [B,N,N,Dd] /
     normed_diff [B,N,N,3] (f32, CoorsNorm'd coordinate differences) /
@@ -139,6 +140,11 @@ def equi_update_fused(node_i, node_j, edge_attr, dist, normed_diff,
     batch_tile=2 keeps the per-tile live set ~9.3MB under the 16MB v5e VMEM
     budget at flagship dims (PALLAS.md).
     """
+    if interpret is None:
+        # lets CPU environments (tests, dev boxes) exercise the REAL
+        # use_pallas dispatch path end-to-end in interpret mode
+        interpret = os.environ.get("DIFFSPECTRA_PALLAS_INTERPRET", "") == "1"
+
     B, N = edge_attr.shape[0], edge_attr.shape[1]
     de, dd, dh = edge_attr.shape[-1], dist.shape[-1], w_e.shape[-1]
     a = adj_extra.shape[-1]
