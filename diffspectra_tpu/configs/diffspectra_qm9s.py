@@ -38,7 +38,7 @@ def get_config():
     # atom-count bucket boundaries for bucketed padding (empty = single
     # static N; each bucket adds one XLA compilation but removes padded pair
     # compute — see data/pipeline.py)
-    data.bucket_sizes = []
+    data.bucket_sizes = ()  # tuple: CLI-overridable, e.g. --config.data.bucket_sizes='(17,21,25,29)'
     # synthetic fallback when no QM9S download is present (tests/benches)
     data.synthetic = False
     data.synthetic_size = 4096
@@ -176,7 +176,7 @@ def get_config():
     # padding trims ~2x of the padded compute at full batches (measured
     # ~1.25-1.6x end-to-end incl. partial final batches per bucket); the
     # harness restores draw order so outputs match the unbucketed sweep.
-    evaluate.bucket_sizes = [17, 21, 25, 29]
+    evaluate.bucket_sizes = (17, 21, 25, 29)
 
     config.seed = 42
     return config

@@ -41,7 +41,7 @@ def get_config():
     config.sampling.steps = 50
 
     config.eval.num_samples = 8
-    config.eval.bucket_sizes = []  # max_node=16; flagship buckets don't apply
+    config.eval.bucket_sizes = ()  # max_node=16; flagship buckets don't apply
     config.eval.batch_size = 8
     config.eval.begin_ckpt = 1
     config.eval.end_ckpt = 1

@@ -90,6 +90,10 @@ class DeviceStore:
                 k: np.concatenate([v, v[:pad]], axis=0) for k, v in store.items()
             }
         self.shard_size = (m + pad) // self.n_dev
+        # host copy of atom counts in STORE order (post wrap-padding):
+        # identical on every process, so bucket schedules derived from it
+        # (sharded_bucket_index_iterator) agree globally without collectives
+        self.host_num_atom = store["num_atom"].copy()
         if mesh is None:
             self._arrays = jax.device_put(store)
         elif jax.process_count() == 1:
@@ -250,24 +254,115 @@ def make_sharded_store_step(
     ``sharded_index_iterator``), augments positions with a decorrelated key,
     and runs the axis-aware ``axis_step`` (psum gradient reduction inside).
     Used by run_lib's trainer and exercised verbatim by the driver's
-    multi-chip dry run."""
+    multi-chip dry run.
+
+    Bucketed padding: the returned step takes an optional static ``n_pad``
+    (0 = full N). Each distinct n_pad compiles its own shard_map program
+    (cached here), so the mesh path supports bucket-homogeneous batches from
+    ``sharded_bucket_index_iterator`` — every chip runs the same-bucket step
+    in lockstep because the schedule is globally agreed."""
     from ..parallel import make_parallel_store_step
     from .pipeline import augment_positions
 
-    def store_step_body(state, arrays, idx, rng):
-        k_aug, k_step = jax.random.split(rng)
-        k_aug = jax.random.fold_in(k_aug, jax.lax.axis_index(axis_name))
-        batch = build_batch(
-            arrays, idx, atom_types=atom_types,
-            include_aromatic=include_aromatic, spectra_keys=spectra_keys,
-        )
-        batch["positions"] = augment_positions(
-            k_aug, batch["positions"], batch["atom_mask"],
-            aug_rotation, aug_translation, aug_translation_scale,
-        )
-        return axis_step(state, batch, k_step)
+    def _body_for(n_pad):
+        def store_step_body(state, arrays, idx, rng):
+            k_aug, k_step = jax.random.split(rng)
+            k_aug = jax.random.fold_in(k_aug, jax.lax.axis_index(axis_name))
+            batch = build_batch(
+                arrays, idx, atom_types=atom_types,
+                include_aromatic=include_aromatic, spectra_keys=spectra_keys,
+                n_pad=n_pad,
+            )
+            batch["positions"] = augment_positions(
+                k_aug, batch["positions"], batch["atom_mask"],
+                aug_rotation, aug_translation, aug_translation_scale,
+            )
+            return axis_step(state, batch, k_step)
 
-    return make_parallel_store_step(store_step_body, mesh, axis_name)
+        return store_step_body
+
+    compiled = {}
+
+    def step(state, arrays, idx, rng, n_pad=0):
+        fn = compiled.get(int(n_pad))
+        if fn is None:
+            fn = compiled[int(n_pad)] = make_parallel_store_step(
+                _body_for(int(n_pad)), mesh, axis_name
+            )
+        return fn(state, arrays, idx, rng)
+
+    return step
+
+
+def sharded_bucket_index_iterator(
+    num_atom: np.ndarray,
+    shard_size: int,
+    n_dev: int,
+    per_dev_batch: int,
+    bucket_sizes,
+    shuffle: bool = True,
+    seed: int = 0,
+):
+    """Bucketed epoch iterator over a mesh-sharded ``DeviceStore``.
+
+    Yields ``(n_pad, idx[n_dev * per_dev_batch])`` where block d holds
+    SHARD-LOCAL offsets into shard d and every selected row satisfies
+    ``num_atom <= n_pad`` (so the static n_pad truncation in ``build_batch``
+    never cuts real atoms).
+
+    Multi-host contract: ``num_atom`` is the store-order host vector
+    (``DeviceStore.host_num_atom``), identical on every process, and the
+    schedule is a pure function of (it, seed) — every process computes the
+    SAME (n_pad, idx) sequence with no collective, which is what keeps the
+    per-bucket shard_map programs in lockstep across hosts.
+
+    Scheduling: the number of bucket-b steps is the GLOBAL row count of b
+    divided by the global batch (drop_last semantics); shard-local shortfall
+    (a shard holding fewer bucket-b rows than the schedule consumes) wraps
+    around that shard's permuted bucket list — sample reuse instead of a
+    cross-shard exchange. Random row->shard assignment keeps shards near the
+    global bucket histogram, so reuse is rare; a shard with ZERO rows in a
+    bucket falls back to its rows with num_atom <= bucket size (always
+    shape-valid). Buckets infeasible on some shard even then are skipped.
+    """
+    bucket_sizes = sorted(int(b) for b in bucket_sizes)
+    rng = np.random.default_rng(seed)
+    per_shard = np.asarray(num_atom).reshape(n_dev, shard_size)
+    n_buckets = len(bucket_sizes)
+
+    # shard-local candidate pools per bucket, independently permuted
+    pools = []  # pools[d][b] -> np.ndarray of shard-local offsets
+    for d in range(n_dev):
+        b_of = np.searchsorted(bucket_sizes, per_shard[d])
+        shard_pools = []
+        for b in range(n_buckets):
+            rows = np.where(b_of == b)[0]
+            if rows.size == 0:
+                rows = np.where(per_shard[d] <= bucket_sizes[b])[0]
+            if shuffle and rows.size:
+                rows = rng.permutation(rows)
+            shard_pools.append(rows)
+        pools.append(shard_pools)
+
+    b_of_all = np.searchsorted(bucket_sizes, per_shard.reshape(-1))
+    global_batch = n_dev * per_dev_batch
+    schedule = []
+    for b in range(n_buckets):
+        if any(pools[d][b].size == 0 for d in range(n_dev)):
+            continue
+        schedule.extend([b] * (int((b_of_all == b).sum()) // global_batch))
+    if shuffle:
+        rng.shuffle(schedule)
+
+    cursor = np.zeros((n_dev, n_buckets), dtype=np.int64)
+    for b in schedule:
+        blocks = []
+        for d in range(n_dev):
+            rows = pools[d][b]
+            take = (cursor[d, b] + np.arange(per_dev_batch)) % rows.size
+            cursor[d, b] += per_dev_batch
+            blocks.append(rows[take])
+        yield int(bucket_sizes[b]), np.concatenate(blocks).astype(np.int32)
 
 
 def sharded_index_iterator(

@@ -16,6 +16,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from . import checkpoint as ckpt_lib
 from . import visualize
@@ -143,11 +144,22 @@ def _sampling_mesh(mesh, batch_size):
     """(mesh_or_none, batch): mesh for the sampling fan-out plus the batch
     size to run it at. An indivisible batch is rounded DOWN to the nearest
     multiple of the device count (keeping the n-times fan-out; round 1
-    silently fell back to single-device, an 8x eval slowdown). None when the
-    fan-out can't apply: single device, or multi-host (the host decode
-    gathers shard_map outputs that would span non-addressable devices)."""
+    silently fell back to single-device, an 8x eval slowdown).
+
+    Multi-host: the fan-out runs on a PROCESS-LOCAL mesh — the host decode
+    gathers shard_map outputs, which must all be addressable, so the global
+    mesh can't apply. Every process draws the same samples with the same
+    keys (seeded harness), so each computes the full sweep on its own chips
+    and gets identical results — reference-equivalent duplicated eval work,
+    with no cross-host gather (ref has no multi-host at all, SURVEY §2.12).
+    None when only one device is addressable."""
+    if jax.process_count() > 1:
+        local = jax.local_devices()
+        if len(local) <= 1:
+            return None, batch_size
+        mesh = Mesh(np.asarray(local), ("data",))
     n = mesh.devices.size
-    if n <= 1 or jax.process_count() > 1:
+    if n <= 1:
         return None, batch_size
     if batch_size < n:
         # rounding UP would silently exceed the configured batch (memory /
@@ -258,14 +270,15 @@ def diffspectra_train(config, config_original_qm9, workdir):
     # mesh, rows are sharded over the data axis — each chip holds 1/n_dev of
     # the split and assembles its batch from the local shard inside
     # shard_map (shard-local shuffling). Multi-host uploads per-process
-    # shards (device_store.py). Bucketed padding stays on the host pipeline
-    # under a mesh (buckets need a per-step static n_pad recompile schedule).
+    # shards (device_store.py). Bucketed padding under a mesh uses a
+    # globally-agreed (n_pad, idx) schedule — every process derives the same
+    # bucket sequence from the seeded iterator, one compiled shard_map
+    # program per bucket (device_store.sharded_bucket_index_iterator).
     store_bytes = device_store.estimate_bytes(second_train_ds, spectra_version)
     use_device_store = (
         config.data.get("device_resident", True)
         and store_bytes // n_dev
         <= config.data.get("device_store_max_bytes", 6_000_000_000)
-        and not (use_mesh and bucket_sizes)
     )
     if use_device_store:
         store = device_store.DeviceStore(
@@ -304,17 +317,25 @@ def diffspectra_train(config, config_original_qm9, workdir):
             def store_step(state, arrays, idx, rng, n_pad=0):
                 return store_pstep(
                     state, arrays, device_store.global_index_array(mesh, idx),
-                    rng,
+                    rng, n_pad=n_pad,
                 )
 
-            def make_idx_iter(epoch):
-                return (
-                    (0, idx)
-                    for idx in device_store.sharded_index_iterator(
-                        store.shard_size, n_dev, batch_size // n_dev,
+            if bucket_sizes:
+                def make_idx_iter(epoch):
+                    return device_store.sharded_bucket_index_iterator(
+                        store.host_num_atom, store.shard_size, n_dev,
+                        batch_size // n_dev, bucket_sizes,
                         shuffle=True, seed=config.seed + epoch,
                     )
-                )
+            else:
+                def make_idx_iter(epoch):
+                    return (
+                        (0, idx)
+                        for idx in device_store.sharded_index_iterator(
+                            store.shard_size, n_dev, batch_size // n_dev,
+                            shuffle=True, seed=config.seed + epoch,
+                        )
+                    )
         else:
             @partial(
                 jax.jit, static_argnames="n_pad", donate_argnums=(0,)

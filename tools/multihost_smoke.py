@@ -37,7 +37,7 @@ from diffspectra_tpu.configs import smoke  # noqa: E402
 from diffspectra_tpu.data import get_dataset  # noqa: E402
 from diffspectra_tpu.data.device_store import (  # noqa: E402
     DeviceStore, global_index_array, make_sharded_store_step,
-    sharded_index_iterator,
+    sharded_bucket_index_iterator, sharded_index_iterator,
 )
 from diffspectra_tpu.diffusion import NoiseScheduleVP  # noqa: E402
 from diffspectra_tpu.models.dmt import DMT  # noqa: E402
@@ -99,7 +99,45 @@ def main():
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses), losses
     assert int(state.step) == 2
-    print(f"MULTIHOST OK loss={losses[-1]:.6f}", flush=True)
+
+    # bucketed padding across hosts: each process independently derives the
+    # SAME (n_pad, idx) schedule from the replicated host_num_atom vector —
+    # no collective — so the per-bucket shard_map programs stay in lockstep
+    n_pad, bidx = next(iter(sharded_bucket_index_iterator(
+        store.host_num_atom, store.shard_size, n_dev, 2,
+        bucket_sizes=(6, cfg.data.max_node), seed=0,
+    )))
+    gidx = global_index_array(mesh, np.asarray(bidx))
+    state, bloss = pstep(state, store.arrays(), gidx, jax.random.PRNGKey(9),
+                         n_pad=n_pad)
+    bloss = float(bloss)
+    assert np.isfinite(bloss), bloss
+    assert int(state.step) == 3
+
+    # process-local sampling fan-out: under multi-host, _sampling_mesh hands
+    # back a mesh over THIS process's devices; every process runs the same
+    # seeded sweep on its own chips and must get identical molecules (the
+    # test compares the digest line across processes)
+    from diffspectra_tpu import run_lib
+    from diffspectra_tpu.sampling.harness import make_cond_sampling_fn
+    from diffspectra_tpu.utils.scalers import get_data_inverse_scaler
+
+    smesh, sbatch = run_lib._sampling_mesh(mesh, devs)
+    assert smesh is not None and int(smesh.devices.size) == devs
+    assert all(d.process_index == proc_id for d in smesh.devices.flat)
+    cfg.sampling.steps = 2
+    sfn = make_cond_sampling_fn(
+        cfg, model, sch, sbatch, sbatch,
+        get_data_inverse_scaler(cfg), second, mesh=smesh,
+    )
+    mols, _, _ = sfn(jax.device_get(variables), jax.random.PRNGKey(5))
+    digest = float(sum(float(np.asarray(m[1]).sum()) for m in mols))
+
+    print(
+        f"MULTIHOST OK loss={losses[-1]:.6f} bucketed(n_pad={n_pad})"
+        f"={bloss:.6f} sample_digest={digest:.1f}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
