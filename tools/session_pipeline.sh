@@ -76,7 +76,16 @@ run_job probe_remat_none env TRAIN_WORKDIR=/root/repo/exp/probe_remat \
 # 6. sampling-batch scaling probe for the north-star metric
 run_job bench_b256 env BENCH_BATCH=256 BENCH_SAMPLES=2560 timeout 5400 python bench.py
 
-# 7. known-crashy recompile checks LAST (both have crashed the remote
+# 7. bucketed-padding train-step probe: bucket_sizes are now first-class on
+# every store path (incl. the mesh device store); pair-grid compute scales
+# ~N^2 and the QM9 mean is 18 atoms vs the static N=29, so homogeneous
+# buckets should cut real step time — measure before adopting in training
+rm -rf /root/repo/exp/probe_buckets
+run_job probe_train_buckets env TRAIN_WORKDIR=/root/repo/exp/probe_buckets \
+  TRAIN_STEPS=300 TRAIN_OVERRIDES="data.bucket_sizes=(17,21,25,29)" \
+  timeout 3600 python tools/tpu_train_smoke.py
+
+# 8. known-crashy recompile checks LAST (both have crashed the remote
 # compile helper in past sessions; keep them from poisoning earlier jobs)
 run_job probe_mosaic timeout 1200 python tools/diag_pallas.py
 rm -rf /root/repo/exp/probe_sf_bf16
