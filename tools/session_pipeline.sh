@@ -85,7 +85,25 @@ run_job probe_train_buckets env TRAIN_WORKDIR=/root/repo/exp/probe_buckets \
   TRAIN_STEPS=300 TRAIN_OVERRIDES="data.bucket_sizes=(17,21,25,29)" \
   timeout 3600 python tools/tpu_train_smoke.py
 
-# 8. known-crashy recompile checks LAST (both have crashed the remote
+# 8. SpecFormer masked-patch pretrain -> fine-tune delta (ROADMAP item 8,
+# first hardware exercise): pretrain the spectra encoder, then compare two
+# short fine-tunes (scratch vs pretrained init) on loss tail + snapshot
+run_job pretrain_specformer timeout 2400 \
+  python -m diffspectra_tpu.main \
+  --config diffspectra_tpu/configs/diffspectra_qm9s.py \
+  --workdir /root/repo/exp/probe_pretrain --mode pretrain \
+  --config.data.spectra_version=ir --config.data.synthetic=True \
+  --config.pretrain.n_iters=3000 --config.pretrain.warmup=300 \
+  --config.pretrain.log_freq=100 --config.pretrain.snapshot_freq=3000
+rm -rf /root/repo/exp/probe_ft_scratch /root/repo/exp/probe_ft_pre
+run_job finetune_scratch env TRAIN_WORKDIR=/root/repo/exp/probe_ft_scratch \
+  TRAIN_STEPS=10000 timeout 3600 python tools/tpu_train_smoke.py
+run_job finetune_pretrained env TRAIN_WORKDIR=/root/repo/exp/probe_ft_pre \
+  TRAIN_STEPS=10000 \
+  TRAIN_OVERRIDES="model.pretrained_specformer_path='/root/repo/exp/probe_pretrain/specformer_pretrained.npz'" \
+  timeout 3600 python tools/tpu_train_smoke.py
+
+# 9. known-crashy recompile checks LAST (both have crashed the remote
 # compile helper in past sessions; keep them from poisoning earlier jobs)
 run_job probe_mosaic timeout 1200 python tools/diag_pallas.py
 rm -rf /root/repo/exp/probe_sf_bf16
