@@ -17,6 +17,18 @@ First step falls back to order 1 (DDIM in x0 form). Deterministic ODE
 solver: ``sampling_temperature`` does not apply. Noise-prediction models are
 handled by converting eps-hat -> x0 inside the step.
 
+``stochastic=True`` switches to SDE-DPM-Solver++(2M) (same paper, eta=1) —
+the ancestral-like variant that re-injects noise each step, which usually
+recovers sample diversity/3D quality the ODE path loses at low step counts:
+  x_i = (sigma_i/sigma_{i-1}) e^{-h_i} x_{i-1} + alpha_i (1 - e^{-2 h_i}) D_i
+        + sigma_i sqrt(1 - e^{-2 h_i}) z,   z ~ masked CoM-free / symmetric
+(same D_i blending; per-step exactness check: with a perfect point-mass
+denoiser the marginals stay N(alpha_i x0, sigma_i^2) — mean coefficient
+c_x alpha_{i-1} + c_d = alpha_i and variance c_x^2 sigma_{i-1}^2 + c_n^2 =
+sigma_i^2, asserted in tests/test_dpm_solver.py). ``sampling_temperature``
+scales the injected noise exactly as in the ancestral sampler. Select with
+``config.sampling.method = 'dpm_solver_sde'``.
+
 Node and edge tensors advance jointly with the same scalar coefficients;
 CoM-free positions stay CoM-free (all updates are linear combinations of
 CoM-free arrays). Self-conditioning feeds the previous x0 prediction,
@@ -30,6 +42,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from ..utils import masks as M
+
 
 class DPMSolverPP:
     """Drop-in alternative to ``AncestralSampler`` (same ``sampling`` API)."""
@@ -42,8 +56,9 @@ class DPMSolverPP:
         pred_edge: bool = False,
         self_cond: bool = False,
         cond_process_fn: Optional[Callable] = None,
-        sampling_temperature: float = 1.0,  # accepted for API parity; unused
+        sampling_temperature: float = 1.0,  # ODE path: unused (API parity)
         only_2d: bool = False,
+        stochastic: bool = False,
     ):
         self.noise_scheduler = noise_scheduler
         self.model_pred_data = model_pred_data
@@ -51,6 +66,8 @@ class DPMSolverPP:
         self.self_cond = self_cond
         self.cond_process_fn = cond_process_fn
         self.only_2d = only_2d
+        self.stochastic = stochastic
+        self.sampling_temperature = sampling_temperature
 
         t = time_steps  # [S] nodes, t_0 = T ... t_{S-1} = eps
         lam = noise_scheduler.marginal_lambda(t)
@@ -63,8 +80,15 @@ class DPMSolverPP:
         # transition i-1 -> i for i = 1..S-1
         h = lam[1:] - lam[:-1]  # [S-1], > 0
         r = jnp.concatenate([jnp.ones(1), h[:-1]]) / h  # r_i = h_{i-1}/h_i
-        self.c_x = sigma[1:] / sigma[:-1]  # [S-1]
-        self.c_d = -alpha[1:] * (jnp.exp(-h) - 1.0)
+        if stochastic:
+            e_h = jnp.exp(-h)
+            self.c_x = (sigma[1:] / sigma[:-1]) * e_h
+            self.c_d = alpha[1:] * (1.0 - e_h**2)
+            self.c_n = sigma[1:] * jnp.sqrt(1.0 - e_h**2)
+        else:
+            self.c_x = sigma[1:] / sigma[:-1]  # [S-1]
+            self.c_d = -alpha[1:] * (jnp.exp(-h) - 1.0)
+            self.c_n = jnp.zeros_like(h)
         # 2M blending weights; first transition is order 1
         w_cur = 1.0 + 1.0 / (2.0 * r)
         w_prev = -1.0 / (2.0 * r)
@@ -86,8 +110,9 @@ class DPMSolverPP:
         edge_z_T=None,
         context_emb=None,
     ):
-        del rng  # deterministic ODE solver
-        bs = z_T.shape[0]
+        bs, n_nodes = z_T.shape[0], z_T.shape[1]
+        feat_nf = z_T.shape[2] - (0 if self.only_2d else 3)
+        edge_ch = edge_z_T.shape[-1] if edge_z_T is not None else 0
 
         def call_model(x, edge_x, i, cond_x, cond_edge_x, has_cond):
             vec_t = jnp.full((bs,), self.t_array[i])
@@ -104,8 +129,8 @@ class DPMSolverPP:
             return x0, edge_x0
 
         def body(carry, step_inputs):
-            (x, edge_x, prev_x0, prev_e0, cond_x, cond_edge_x, has_cond) = carry
-            (i, c_x, c_d, w_cur, w_prev) = step_inputs
+            (x, edge_x, prev_x0, prev_e0, cond_x, cond_edge_x, has_cond, k) = carry
+            (i, c_x, c_d, c_n, w_cur, w_prev) = step_inputs
 
             x0, edge_x0 = call_model(x, edge_x, i, cond_x, cond_edge_x, has_cond)
             if self.self_cond:
@@ -120,8 +145,22 @@ class DPMSolverPP:
             if self.pred_edge:
                 d_e = w_cur * edge_x0 + w_prev * prev_e0
                 edge_x = c_x * edge_x + c_d * d_e
+            if self.stochastic:
+                k, k_node, k_edge = jax.random.split(k, 3)
+                if self.only_2d:
+                    noise = M.sample_gaussian_with_mask(k_node, x.shape, node_mask)
+                else:
+                    noise = M.sample_combined_position_feature_noise(
+                        k_node, bs, n_nodes, feat_nf, node_mask
+                    )
+                x = x + c_n * noise * self.sampling_temperature
+                if self.pred_edge:
+                    edge_noise = M.sample_symmetric_edge_feature_noise(
+                        k_edge, bs, n_nodes, edge_ch, edge_mask
+                    )
+                    edge_x = edge_x + c_n * edge_noise * self.sampling_temperature
 
-            return (x, edge_x, x0, edge_x0, cond_x, cond_edge_x, has_cond), None
+            return (x, edge_x, x0, edge_x0, cond_x, cond_edge_x, has_cond, k), None
 
         edge0 = edge_z_T if edge_z_T is not None else jnp.zeros(())
         carry0 = (
@@ -132,12 +171,14 @@ class DPMSolverPP:
             jnp.zeros_like(z_T),
             jnp.zeros_like(edge0),
             jnp.asarray(False),
+            rng,
         )
         S = self.t_array.shape[0]
         step_inputs = (
             jnp.arange(S - 1),
             self.c_x,
             self.c_d,
+            self.c_n,
             self.w_cur,
             self.w_prev,
         )

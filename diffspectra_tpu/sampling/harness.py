@@ -76,14 +76,18 @@ def make_cond_sampling_fn(
     steps = config.sampling.steps
     if sampling_temperature is None:
         sampling_temperature = 1.0
+    sampler_kwargs = {}
     if config.sampling.method == "ancestral":
         sampler_cls = AncestralSampler
-    elif config.sampling.method == "dpm_solver":
-        # DPM-Solver++(2M): deterministic fast solver, 10-20x fewer steps
-        # (TPU-native addition — see sampling/dpm_solver.py)
+    elif config.sampling.method in ("dpm_solver", "dpm_solver_sde"):
+        # DPM-Solver++(2M): fast solver, 10-20x fewer steps (TPU-native
+        # addition — see sampling/dpm_solver.py). The _sde variant re-injects
+        # noise per step (SDE-DPM-Solver++), trading determinism for the
+        # diversity/3D quality the ODE path loses at low step counts.
         from .dpm_solver import DPMSolverPP
 
         sampler_cls = DPMSolverPP
+        sampler_kwargs["stochastic"] = config.sampling.method == "dpm_solver_sde"
     else:
         raise ValueError("Invalid sampling method!")
 
@@ -97,6 +101,7 @@ def make_cond_sampling_fn(
         cond_process_fn=get_self_cond_fn(config),
         sampling_temperature=sampling_temperature,
         only_2d=only_2d,
+        **sampler_kwargs,
     )
     num_rounds = int(math.ceil(n_samples / batch_size))
     bucket_sizes = tuple(sorted(config.eval.get("bucket_sizes", ()))) or (max_n,)

@@ -85,6 +85,13 @@ run_job probe_train_buckets env TRAIN_WORKDIR=/root/repo/exp/probe_buckets \
   TRAIN_STEPS=300 TRAIN_OVERRIDES="data.bucket_sizes=(17,21,25,29)" \
   timeout 3600 python tools/tpu_train_smoke.py
 
+# 7b. SDE-DPM-Solver++ vs ODE at 100 steps: does per-step noise re-injection
+# recover the 3D validity the deterministic solver loses (0.69 ancestral ->
+# 0.65 ODE at 100 steps, RESULTS.md)?
+run_job eval_dpm_sde env EVAL_CKPT="$FC" EVAL_SAMPLES=2048 EVAL_STEPS=100 \
+  EVAL_METHOD=dpm_solver_sde EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false \
+  timeout 3600 python tools/tpu_eval_10k.py
+
 # 8. SpecFormer masked-patch pretrain -> fine-tune delta (ROADMAP item 8,
 # first hardware exercise): pretrain the spectra encoder, then compare two
 # short fine-tunes (scratch vs pretrained init) on loss tail + snapshot
