@@ -25,3 +25,10 @@ python -m diffspectra_tpu.main --config $CFG --workdir exp/ir --mode eval \
     --config.data.spectra_version ir \
     --config.sampling.method dpm_solver --config.sampling.steps 100 \
     --eval_folder eval_fast
+
+# Stochastic fast-eval: SDE-DPM-Solver++ re-injects per-step noise —
+# use when low-step 3D validity matters more than determinism.
+python -m diffspectra_tpu.main --config $CFG --workdir exp/ir --mode eval \
+    --config.data.spectra_version ir \
+    --config.sampling.method dpm_solver_sde --config.sampling.steps 100 \
+    --eval_folder eval_fast_sde
