@@ -19,14 +19,17 @@ until timeout 300 python tools/tpu_probe.py; do
   sleep 180
 done
 
-# adaptive step target: resume point + steps that fit before the deadline
-# at a conservative 110ms/step (measured 99ms + save/restart overhead)
+# adaptive step target: resume point + steps that fit before the deadline.
+# 90ms/step estimate: bucketed train padding is adopted below (static was
+# 99ms wall; pair-grid compute scales ~N^2 and buckets [17,21,25,29] track
+# the QM9 atom-count histogram, so the mix should land well under 99ms —
+# the bucketed *sampling* sweep won 62.6->78.6 mols/s the same way).
 RESUME_STEP="${RESUME_STEP:-308000}"
 MAX_STEPS="${MAX_STEPS:-500000}"
 MIN_STEPS="${MIN_STEPS:-325000}"
 now=$(date +%s)
 deadline="${TRAIN_DEADLINE_EPOCH:-$((now + 21600))}"
-fit=$(( RESUME_STEP + (deadline - now) * 1000 / 110 ))
+fit=$(( RESUME_STEP + (deadline - now) * 1000 / 90 ))
 target=$fit
 [ "$target" -gt "$MAX_STEPS" ] && target=$MAX_STEPS
 [ "$target" -lt "$MIN_STEPS" ] && target=$MIN_STEPS
@@ -35,7 +38,14 @@ target=$(( target / 25000 * 25000 ))
 final_ckpt=$(( target / 25000 ))
 echo "$(date '+%F %T') resume: TPU healthy; step target $target (ckpt $final_ckpt)"
 
+# Bucketed train padding (first hardware adoption): the single-chip device
+# store path compiles one program per bucket n_pad (run_lib.py store_step
+# static n_pad) — a few extra remote compiles up front, then every batch
+# runs at its bucket's true size instead of the static N=29. Monitored
+# after launch: if graphs/sec regresses vs the 1298 static baseline, kill
+# the watchdog, drop TRAIN_OVERRIDES, and relaunch.
 QUALITY_STEPS="$target" WATCHDOG_MAX_RESTARTS=40 \
+  TRAIN_OVERRIDES="data.bucket_sizes=(17,21,25,29)" \
   python tools/run_with_watchdog.py tools/quality_run.log \
   python tools/tpu_quality_run.py > /tmp/watchdog.out 2>&1 &
 echo $! > /tmp/watchdog.pid
