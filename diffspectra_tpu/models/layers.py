@@ -220,10 +220,15 @@ class DenseTransMixLayer(nn.Module):
             )
             return out  # [B, N, H*C] f32
 
-        e0 = (edge_attr.astype(self.dtype) @ w0.astype(self.dtype))
-        e0 = jnp.tanh(e0.reshape(B, N, N, E, sub_c))
-        e1 = (edge_attr.astype(self.dtype) @ w1.astype(self.dtype))
-        e1 = jnp.tanh(e1.reshape(B, N, N, H, C))
+        # One matmul into the concatenated [De, E*sub_c + H*C] kernel instead
+        # of two: edge_attr is [B,N,N,De] (~55MB at batch 128) and the layer
+        # is HBM-bandwidth-bound, so reading it once for both gate
+        # projections matters; per-column math is identical to the split
+        # matmuls (params stay separate for Pallas-path/checkpoint compat).
+        w01 = jnp.concatenate([w0, w1], axis=1).astype(self.dtype)
+        e01 = edge_attr.astype(self.dtype) @ w01
+        e0 = jnp.tanh(e01[..., : E * sub_c].reshape(B, N, N, E, sub_c))
+        e1 = jnp.tanh(e01[..., E * sub_c :].reshape(B, N, N, H, C))
 
         # learned logits, scaled by sqrt(out_channels) as the reference does
         # (ref :167 — NOT sqrt(sub_channels))

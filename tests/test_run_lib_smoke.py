@@ -57,6 +57,63 @@ def test_end_to_end_train_and_eval(tmp_path):
     assert os.path.isdir(eval_dir)
 
 
+def test_resume_into_bucketed_training(tmp_path):
+    """A checkpoint trained with static N=29-style padding must resume
+    cleanly into a bucketed-padding run (params/opt state carry no
+    N-dependence) — the production quality run does exactly this when
+    bucket_sizes are adopted mid-run."""
+    cfg = smoke.get_config()
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.data.max_node = 12
+    cfg.data.synthetic_size = 64
+    cfg.training.base_batch_size = 4
+    cfg.training.batch_size = 4
+    cfg.training.n_iters = 3
+    cfg.training.snapshot_freq = 100
+    cfg.training.snapshot_freq_for_preemption = 3
+    cfg.training.log_freq = 2
+    cfg.training.snapshot_sampling = False
+    cfg.training.num_devices = 1
+
+    workdir = str(tmp_path / "run")
+    run_lib.train(cfg, None, workdir)
+    assert os.path.exists(os.path.join(workdir, "checkpoints-meta", "checkpoint"))
+
+    # resume the same workdir with bucketed padding on (one truncating
+    # bucket, one at max N) and train three more steps
+    cfg.data.bucket_sizes = (8, 12)
+    cfg.training.n_iters = 6
+    run_lib.train(cfg, None, workdir)
+
+    from diffspectra_tpu import checkpoint as ckpt_lib
+    from diffspectra_tpu.models.dmt import DMT
+    from diffspectra_tpu.training import optim as optim_lib
+    from diffspectra_tpu.training.train_state import create_train_state
+
+    # the resumed run advanced the step counter past the static-run steps
+    import jax.numpy as jnp
+
+    from diffspectra_tpu.utils import masks as M
+
+    model = DMT.from_config(cfg)
+    n = cfg.data.max_node
+    node_mask, edge_mask = M.build_masks(jnp.full((2,), n), n)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.zeros((2, n, 9)),
+        node_mask, edge_mask, jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (2, 3501))),
+        edge_x=jnp.zeros((2, n, n, 2)), noise_level=jnp.zeros((2,)),
+    )
+    state = create_train_state(variables, optim_lib.get_optimizer(cfg), cfg.model.ema_decay)
+    state = ckpt_lib.restore_for_resume(workdir, state)
+    # the loop runs loop-vars 0..n_iters inclusive and each iteration
+    # advances the state counter, so n_iters=6 leaves the counter at 7;
+    # what matters here: the bucketed resume added steps on top of the
+    # static run (4 after run one) instead of restarting from 0
+    assert int(state.step) == 7
+
+
 def test_bucketed_sampling_harness(tmp_path):
     """Bucketed eval sampling produces per-molecule outputs in draw order,
     identical shapes and pairings as the single-bucket path."""

@@ -66,6 +66,14 @@ for ck in 12 16; do
 done
 
 # 5. perf probes (ROADMAP item 5 / VERDICT r1 #6): the untested levers.
+# 5a. static-padding baseline re-probe: training now runs bucketed and the
+# attention layer merged its two edge_attr gate reads into one matmul —
+# this re-measures the static-N=29 step so the w01-merge effect is
+# separable from bucketing (prior static baseline: 99ms / 1290 graphs/sec)
+rm -rf /root/repo/exp/probe_static
+run_job probe_static_baseline env TRAIN_WORKDIR=/root/repo/exp/probe_static \
+  TRAIN_STEPS=300 timeout 3600 python tools/tpu_train_smoke.py
+
 # remat_policy='none' trades HBM for the backward recompute of the block
 # scan — the one step-time knob added last session but never measured.
 rm -rf /root/repo/exp/probe_remat
