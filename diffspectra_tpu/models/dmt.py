@@ -183,10 +183,18 @@ class EquivariantMixBlock(nn.Module):
             distance = _GBF_LAYERS[self.gbf_name](
                 dist_dim, self.time_dim, name="dist_layer"
             )(distance, edge_time_emb)
-        edge_attr = nn.Dense(self.edge_dim, dtype=self.dtype, name="edge_emb")(
-            jnp.concatenate(
-                [distance.astype(self.dtype), edge_attr.astype(self.dtype)], axis=-1
-            )
+        # concat([dist, e]) @ W == dist @ W_top + e @ W_bot — the
+        # [B,N,N,dist_dim+edge_dim] concat never materialises in HBM (same
+        # linearity trick as MultiCondEquiUpdate's input_lin; identical math,
+        # identical param tree via DenseParams under nn.Dense's names)
+        k_emb, b_emb = DenseParams(
+            dist_dim + self.edge_dim, self.edge_dim, name="edge_emb"
+        )()
+        k_emb = k_emb.astype(self.dtype)
+        edge_attr = (
+            distance.astype(self.dtype) @ k_emb[:dist_dim]
+            + edge_attr.astype(self.dtype) @ k_emb[dist_dim:]
+            + b_emb.astype(self.dtype)
         )
 
         ln = lambda name: nn.LayerNorm(
@@ -603,9 +611,7 @@ class DMT(nn.Module):
         # ys [L, B, ...] -> concat in layer order after the embedding features
         L = self.n_layers
         cat_h = jnp.moveaxis(cat_h, 0, 2).reshape(B, N, L * cat_node_dim)
-        cat_e = jnp.moveaxis(cat_e, 0, 3).reshape(B, N, N, L * cat_edge_dim)
         atom_hids = jnp.concatenate([h, cat_h], axis=-1)
-        edge_hids = jnp.concatenate([edge_attr, cat_e], axis=-1)
 
         def mlp_head(x, width, out, prefix):
             x = nn.Dense(width, name=f"{prefix}_0")(x)
@@ -617,10 +623,34 @@ class DMT(nn.Module):
         atom_pred = mlp_head(
             atom_hids, self.hidden_dim, self.in_node_dim, "node_pred_mlp"
         ) * node_mask
-        edge_exist = mlp_head(edge_hids, self.edge_hidden_dim, 1, "edge_exist_mlp")
-        edge_type = mlp_head(
-            edge_hids, self.edge_hidden_dim, self.edge_ch - 1, "edge_type_mlp"
+
+        # Edge skip-concat heads without the HBM round trips: the first
+        # Dense of each head is linear in the concatenated features, so (a)
+        # the stacked scan output cat_e [L,B,N,N,d] is contracted directly
+        # (one dot over (l,d) — the [B,N,N,L*d] transpose+concat never
+        # materialises), and (b) both heads' first-layer kernels apply as
+        # one matmul over the shared input, split after. Identical math and
+        # param tree (DenseParams under the nn.Dense names).
+        De = self.edge_hidden_dim
+        d_c = cat_edge_dim
+        in_e = De + L * d_c
+        k_ex, b_ex = DenseParams(in_e, De, name="edge_exist_mlp_0")()
+        k_ty, b_ty = DenseParams(in_e, De, name="edge_type_mlp_0")()
+        k01 = jnp.concatenate([k_ex, k_ty], axis=1)  # [in_e, 2*De]
+        first = (
+            edge_attr @ k01[:De]
+            + jnp.einsum("lbijd,ldo->bijo", cat_e, k01[De:].reshape(L, d_c, 2 * De))
+            + jnp.concatenate([b_ex, b_ty], axis=-1)
         )
+
+        def mlp_tail(x, width, out, prefix):
+            x = nn.silu(x)
+            x = nn.Dense(width // 2, name=f"{prefix}_1")(x)
+            x = nn.silu(x)
+            return nn.Dense(out, name=f"{prefix}_2")(x)
+
+        edge_exist = mlp_tail(first[..., :De], De, 1, "edge_exist_mlp")
+        edge_type = mlp_tail(first[..., De:], De, self.edge_ch - 1, "edge_type_mlp")
         edge_pred = jnp.concatenate([edge_exist, edge_type], axis=-1)
         # dense scatter-back == masking to real edges, then symmetrise
         # (ref :396-399)
