@@ -31,6 +31,7 @@ from ..utils.registry import register_model
 from .layers import (
     MASK_INF,
     CondGaussianLayer,
+    DenseParams,
     GaussianLayer,
     LearnedSinusoidalPosEmb,
     modulate,
@@ -431,9 +432,7 @@ class DMT_WO_EQ(nn.Module):
 
         L = self.n_layers
         cat_h = jnp.moveaxis(cat_h, 0, 2).reshape(B, N, L * cat_node_dim)
-        cat_e = jnp.moveaxis(cat_e, 0, 3).reshape(B, N, N, L * cat_edge_dim)
         atom_hids = jnp.concatenate([h, cat_h], axis=-1)
-        edge_hids = jnp.concatenate([edge_attr, cat_e], axis=-1)
 
         def mlp_head(x, width, out, prefix):
             x = nn.Dense(width, name=f"{prefix}_0")(x)
@@ -453,10 +452,31 @@ class DMT_WO_EQ(nn.Module):
         pos_pred = nn.Dense(3, use_bias=False, name="pos_pred_mlp_1")(pos_pred)
         pos_pred = pos_pred * node_mask
 
-        edge_exist = mlp_head(edge_hids, self.edge_hidden_dim, 1, "edge_exist_mlp")
-        edge_type = mlp_head(
-            edge_hids, self.edge_hidden_dim, self.edge_ch - 1, "edge_type_mlp"
+        # Edge skip-concat heads without the [B,N,N,L*d] transpose/concat
+        # HBM round trips — same exact-math rewrite as models/dmt.py: one
+        # (l,d) contraction over the stacked scan output, both heads' first
+        # kernels applied as one matmul (param tree unchanged, DenseParams
+        # under the nn.Dense names).
+        De = self.edge_hidden_dim
+        d_c = cat_edge_dim
+        in_e = De + L * d_c
+        k_ex, b_ex = DenseParams(in_e, De, name="edge_exist_mlp_0")()
+        k_ty, b_ty = DenseParams(in_e, De, name="edge_type_mlp_0")()
+        k01 = jnp.concatenate([k_ex, k_ty], axis=1)
+        first = (
+            edge_attr @ k01[:De]
+            + jnp.einsum("lbijd,ldo->bijo", cat_e, k01[De:].reshape(L, d_c, 2 * De))
+            + jnp.concatenate([b_ex, b_ty], axis=-1)
         )
+
+        def mlp_tail(x, width, out, prefix):
+            x = nn.silu(x)
+            x = nn.Dense(width // 2, name=f"{prefix}_1")(x)
+            x = nn.silu(x)
+            return nn.Dense(out, name=f"{prefix}_2")(x)
+
+        edge_exist = mlp_tail(first[..., :De], De, 1, "edge_exist_mlp")
+        edge_type = mlp_tail(first[..., De:], De, self.edge_ch - 1, "edge_type_mlp")
         edge_pred = jnp.concatenate([edge_exist, edge_type], axis=-1)
         edge_final = M.symmetrize_edges(edge_pred * edge_mask[..., None])
 
