@@ -29,6 +29,7 @@ from .layers import (
     DenseTransMixLayer,
     GaussianLayer,
     LearnedSinusoidalPosEmb,
+    edge_skip_head_first,
     modulate,
 )
 from .specformer import SpecFormer
@@ -624,24 +625,10 @@ class DMT(nn.Module):
             atom_hids, self.hidden_dim, self.in_node_dim, "node_pred_mlp"
         ) * node_mask
 
-        # Edge skip-concat heads without the HBM round trips: the first
-        # Dense of each head is linear in the concatenated features, so (a)
-        # the stacked scan output cat_e [L,B,N,N,d] is contracted directly
-        # (one dot over (l,d) — the [B,N,N,L*d] transpose+concat never
-        # materialises), and (b) both heads' first-layer kernels apply as
-        # one matmul over the shared input, split after. Identical math and
-        # param tree (DenseParams under the nn.Dense names).
+        # Edge skip-concat heads without the HBM round trips (shared helper;
+        # see layers.edge_skip_head_first for the exact-math argument)
         De = self.edge_hidden_dim
-        d_c = cat_edge_dim
-        in_e = De + L * d_c
-        k_ex, b_ex = DenseParams(in_e, De, name="edge_exist_mlp_0")()
-        k_ty, b_ty = DenseParams(in_e, De, name="edge_type_mlp_0")()
-        k01 = jnp.concatenate([k_ex, k_ty], axis=1)  # [in_e, 2*De]
-        first = (
-            edge_attr @ k01[:De]
-            + jnp.einsum("lbijd,ldo->bijo", cat_e, k01[De:].reshape(L, d_c, 2 * De))
-            + jnp.concatenate([b_ex, b_ty], axis=-1)
-        )
+        first = edge_skip_head_first(edge_attr, cat_e, L, cat_edge_dim, De)
 
         def mlp_tail(x, width, out, prefix):
             x = nn.silu(x)

@@ -31,9 +31,9 @@ from ..utils.registry import register_model
 from .layers import (
     MASK_INF,
     CondGaussianLayer,
-    DenseParams,
     GaussianLayer,
     LearnedSinusoidalPosEmb,
+    edge_skip_head_first,
     modulate,
 )
 from .specformer import SpecFormer
@@ -452,22 +452,10 @@ class DMT_WO_EQ(nn.Module):
         pos_pred = nn.Dense(3, use_bias=False, name="pos_pred_mlp_1")(pos_pred)
         pos_pred = pos_pred * node_mask
 
-        # Edge skip-concat heads without the [B,N,N,L*d] transpose/concat
-        # HBM round trips — same exact-math rewrite as models/dmt.py: one
-        # (l,d) contraction over the stacked scan output, both heads' first
-        # kernels applied as one matmul (param tree unchanged, DenseParams
-        # under the nn.Dense names).
+        # Edge skip-concat heads without the HBM round trips (shared helper;
+        # see layers.edge_skip_head_first for the exact-math argument)
         De = self.edge_hidden_dim
-        d_c = cat_edge_dim
-        in_e = De + L * d_c
-        k_ex, b_ex = DenseParams(in_e, De, name="edge_exist_mlp_0")()
-        k_ty, b_ty = DenseParams(in_e, De, name="edge_type_mlp_0")()
-        k01 = jnp.concatenate([k_ex, k_ty], axis=1)
-        first = (
-            edge_attr @ k01[:De]
-            + jnp.einsum("lbijd,ldo->bijo", cat_e, k01[De:].reshape(L, d_c, 2 * De))
-            + jnp.concatenate([b_ex, b_ty], axis=-1)
-        )
+        first = edge_skip_head_first(edge_attr, cat_e, L, cat_edge_dim, De)
 
         def mlp_tail(x, width, out, prefix):
             x = nn.silu(x)

@@ -253,6 +253,38 @@ class DenseTransMixLayer(nn.Module):
         return out.reshape(B, N, H * C).astype(jnp.float32)
 
 
+def edge_skip_head_first(edge_attr, cat_e, n_layers, cat_dim, width):
+    """First layer of the two edge skip-concat prediction heads, computed
+    without the HBM round trips of the naive form (shared by DMT and
+    DMT_WO_EQ; ref models/dmt.py:227-247):
+
+    - the stacked scan output ``cat_e [L,B,N,N,d]`` is contracted directly
+      over ``(l, d)`` — the ``[B,N,N,L*d]`` transpose+concat never
+      materialises (row order of the kernels matches the old
+      ``moveaxis(0,3).reshape`` layout: l-major, d-minor);
+    - both heads' first-layer kernels are applied as ONE matmul over the
+      shared input and the result split by the caller.
+
+    Exact same math and param tree as two ``nn.Dense(width,
+    name='edge_{exist,type}_mlp_0')`` over ``concat([edge_attr, cat_e])``
+    (params declared via DenseParams under those names). Must be called
+    from inside the owning module's ``@nn.compact`` ``__call__`` so the
+    params attach to its scope. Returns ``[B,N,N,2*width]``; columns
+    ``[:width]`` are the exist head, ``[width:]`` the type head.
+    """
+    in_e = width + n_layers * cat_dim
+    k_ex, b_ex = DenseParams(in_e, width, name="edge_exist_mlp_0")()
+    k_ty, b_ty = DenseParams(in_e, width, name="edge_type_mlp_0")()
+    k01 = jnp.concatenate([k_ex, k_ty], axis=1)  # [in_e, 2*width]
+    return (
+        edge_attr @ k01[:width]
+        + jnp.einsum(
+            "lbijd,ldo->bijo", cat_e, k01[width:].reshape(n_layers, cat_dim, 2 * width)
+        )
+        + jnp.concatenate([b_ex, b_ty], axis=-1)
+    )
+
+
 class DenseEdgeGateTransLayer(nn.Module):
     """Dense rewrite of ``EdgeGateTransLayer`` (ref: models/layers.py:194-270):
     standard multi-head attention where both logits and values are gated by

@@ -81,37 +81,45 @@ def test_resume_into_bucketed_training(tmp_path):
     run_lib.train(cfg, None, workdir)
     assert os.path.exists(os.path.join(workdir, "checkpoints-meta", "checkpoint"))
 
+    from diffspectra_tpu import checkpoint as ckpt_lib
+    from diffspectra_tpu.models.dmt import DMT
+    from diffspectra_tpu.training import optim as optim_lib
+    from diffspectra_tpu.training.train_state import create_train_state
+
+    import jax.numpy as jnp
+
+    from diffspectra_tpu.utils import masks as M
+
+    def restored_step():
+        model = DMT.from_config(cfg)
+        n = cfg.data.max_node
+        node_mask, edge_mask = M.build_masks(jnp.full((2,), n), n)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.zeros((2, n, 9)),
+            node_mask, edge_mask,
+            jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (2, 3501))),
+            edge_x=jnp.zeros((2, n, n, 2)), noise_level=jnp.zeros((2,)),
+        )
+        state = create_train_state(
+            variables, optim_lib.get_optimizer(cfg), cfg.model.ema_decay
+        )
+        return int(ckpt_lib.restore_for_resume(workdir, state).step)
+
+    # the loop runs loop-vars 0..n_iters inclusive and every iteration
+    # advances the state counter: after run one the meta checkpoint holds
+    # step 4 — assert it BEFORE the resume so a restart-from-0 in run two
+    # is distinguishable from a genuine resume
+    assert restored_step() == 4
+
     # resume the same workdir with bucketed padding on (one truncating
     # bucket, one at max N) and train three more steps
     cfg.data.bucket_sizes = (8, 12)
     cfg.training.n_iters = 6
     run_lib.train(cfg, None, workdir)
 
-    from diffspectra_tpu import checkpoint as ckpt_lib
-    from diffspectra_tpu.models.dmt import DMT
-    from diffspectra_tpu.training import optim as optim_lib
-    from diffspectra_tpu.training.train_state import create_train_state
-
-    # the resumed run advanced the step counter past the static-run steps
-    import jax.numpy as jnp
-
-    from diffspectra_tpu.utils import masks as M
-
-    model = DMT.from_config(cfg)
-    n = cfg.data.max_node
-    node_mask, edge_mask = M.build_masks(jnp.full((2,), n), n)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.zeros((2, n, 9)),
-        node_mask, edge_mask, jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (2, 3501))),
-        edge_x=jnp.zeros((2, n, n, 2)), noise_level=jnp.zeros((2,)),
-    )
-    state = create_train_state(variables, optim_lib.get_optimizer(cfg), cfg.model.ema_decay)
-    state = ckpt_lib.restore_for_resume(workdir, state)
-    # the loop runs loop-vars 0..n_iters inclusive and each iteration
-    # advances the state counter, so n_iters=6 leaves the counter at 7;
-    # what matters here: the bucketed resume added steps on top of the
-    # static run (4 after run one) instead of restarting from 0
-    assert int(state.step) == 7
+    # 4 (resumed) + loop-vars 4..6 = 7; a silent restart-from-0 would have
+    # run 0..6 and also ended at 7, but the ==4 assert above pins run one
+    assert restored_step() == 7
 
 
 def test_bucketed_sampling_harness(tmp_path):

@@ -44,13 +44,18 @@ echo "$(date '+%F %T') resume: TPU healthy; step target $target (ckpt $final_ckp
 # runs at its bucket's true size instead of the static N=29. Monitored
 # after launch: if graphs/sec regresses vs the 1298 static baseline, kill
 # the watchdog, drop TRAIN_OVERRIDES, and relaunch.
-# WATCHDOG_STALL_SECS=1200: bucketed training compiles one train program
-# per bucket LAZILY (as each n_pad first appears) through the remote
-# compile service (40s-12min each, cache cold after this session's model
-# edits) — step lines legitimately pause for up to ~12min between the
-# first and last bucket compile, which the default 300s stall timer would
-# misread as a wedge and kill mid-compile.
+# Bucketed training compiles one train program per bucket LAZILY (as each
+# n_pad first appears) through the remote compile service (40s-12min each,
+# cache cold after this session's model edits):
+# - WATCHDOG_STALL_SECS=1200: step lines legitimately pause for up to
+#   ~12min between later bucket compiles — the default 300s stall timer
+#   would misread that as a wedge and kill mid-compile.
+# - WATCHDOG_COMPILE_GRACE=5400: with log_freq=500 the FIRST step line can
+#   land only after several bucket compiles (worst case ~4 x 12min) plus
+#   restore + store upload — the default 45min grace could SIGTERM a
+#   healthy child mid-first-compile.
 QUALITY_STEPS="$target" WATCHDOG_MAX_RESTARTS=40 WATCHDOG_STALL_SECS=1200 \
+  WATCHDOG_COMPILE_GRACE=5400 \
   TRAIN_OVERRIDES="data.bucket_sizes=(17,21,25,29)" \
   python tools/run_with_watchdog.py tools/quality_run.log \
   python tools/tpu_quality_run.py > /tmp/watchdog.out 2>&1 &
