@@ -226,11 +226,23 @@ def index_iterator(
     assert num_atom is not None
     bucket_of = np.searchsorted(bucket_sizes, num_atom[order])
     batches = []
+    # Leftover rows of each bucket carry UP into the next-larger bucket
+    # (valid: n_pad only grows) instead of being dropped per bucket.
+    # Without the carry, a sparse tail bucket — e.g. the 26-29-atom rows,
+    # ~0.3% of QM9 — holds fewer rows than one batch and would be dropped
+    # EVERY epoch (same rows each time, since bucketing is by num_atom),
+    # i.e. those molecules would never be trained on. With it, at most
+    # batch_size-1 rows are dropped per epoch, and the per-epoch reshuffle
+    # varies which ones.
+    carry = order[:0]
     for bi, bsize in enumerate(bucket_sizes):
-        rows = order[bucket_of == bi]
-        stop = len(rows) - (len(rows) % batch_size) if drop_last else len(rows)
+        rows = np.concatenate([carry, order[bucket_of == bi]])
+        stop = len(rows) - (len(rows) % batch_size)
         for start in range(0, stop, batch_size):
             batches.append((int(bsize), rows[start : start + batch_size]))
+        carry = rows[stop:]
+    if carry.size and not drop_last:
+        batches.append((int(bucket_sizes[-1]), carry))
     rng.shuffle(batches)
     for bsize, rows in batches:
         yield bsize, rows.astype(np.int32)
@@ -347,10 +359,19 @@ def sharded_bucket_index_iterator(
     b_of_all = np.searchsorted(bucket_sizes, per_shard.reshape(-1))
     global_batch = n_dev * per_dev_batch
     schedule = []
+    # Global leftover counts carry UP into the next-larger bucket so sparse
+    # tail buckets still get steps (single-chip index_iterator has the
+    # exact-row version of this; here the carried steps draw from the
+    # target bucket's pools with wraparound reuse — approximate but keeps
+    # the globally-agreed schedule a pure function of (num_atom, seed)).
+    leftover = 0
     for b in range(n_buckets):
+        total = int((b_of_all == b).sum()) + leftover
+        steps, leftover = total // global_batch, total % global_batch
         if any(pools[d][b].size == 0 for d in range(n_dev)):
+            leftover = total
             continue
-        schedule.extend([b] * (int((b_of_all == b).sum()) // global_batch))
+        schedule.extend([b] * steps)
     if shuffle:
         rng.shuffle(schedule)
 

@@ -237,11 +237,18 @@ def get_batch_iterator(
     num_atom = ds.arrays["num_atom"][ds.indices[order]]
     bucket_of = np.searchsorted(bucket_sizes, num_atom)  # first b >= n
     batches = []
+    # leftovers carry UP into the next-larger bucket (valid: n_pad only
+    # grows) so sparse tail buckets are trained on instead of being
+    # dropped every epoch — see device_store.index_iterator
+    carry = order[:0]
     for bi, bsize in enumerate(bucket_sizes):
-        rows = order[bucket_of == bi]
-        stop = len(rows) - (len(rows) % batch_size) if drop_last else len(rows)
+        rows = np.concatenate([carry, order[bucket_of == bi]])
+        stop = len(rows) - (len(rows) % batch_size)
         for start in range(0, stop, batch_size):
             batches.append((bsize, rows[start : start + batch_size]))
+        carry = rows[stop:]
+    if carry.size and not drop_last:
+        batches.append((bucket_sizes[-1], carry))
     rng.shuffle(batches)
     for bsize, rows in batches:
         yield collate(_truncate_batch(ds.take(rows), bsize), spectra_version)

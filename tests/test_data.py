@@ -123,20 +123,20 @@ def test_bucketed_batching():
     seen_sizes = set()
     total = 0
     for batch in get_batch_iterator(
-        second, 8, "ir", seed=0, drop_last=False, bucket_sizes=buckets
+        second, 4, "ir", seed=0, drop_last=False, bucket_sizes=buckets
     ):
         n_pad = batch["atom_one_hot"].shape[1]
         seen_sizes.add(n_pad)
         assert n_pad in buckets
-        # every molecule fits its bucket and exceeds the next-smaller bucket
+        # every molecule fits its bucket (leftovers carry UP into larger
+        # buckets, so a batch may contain smaller molecules — but never a
+        # molecule that the bucket's n_pad would truncate)
         assert np.all(batch["num_atom"] <= n_pad)
-        smaller = [b for b in buckets if b < n_pad]
-        if smaller:
-            assert np.all(batch["num_atom"] > smaller[-1])
         assert batch["edge_one_hot"].shape[1:3] == (n_pad, n_pad)
         total += len(batch["num_atom"])
     assert len(seen_sizes) > 1
-    assert total > 0
+    # drop_last=False + carry-up: the epoch covers the whole dataset
+    assert total == len(second)
 
 
 def test_prefetch_preserves_stream():

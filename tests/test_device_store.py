@@ -60,6 +60,34 @@ def test_index_iterator_covers_all_rows():
     assert sorted(seen.tolist()) == list(range(50))
 
 
+def test_bucketed_index_iterator_trains_sparse_tail_bucket():
+    """Leftover rows carry UP into the next-larger bucket: a tail bucket
+    holding fewer rows than one batch (e.g. QM9's 26-29-atom 0.3%) must
+    still be trained on, not silently dropped every epoch."""
+    rng = np.random.default_rng(0)
+    num_atom = np.concatenate([
+        rng.integers(5, 18, size=120),   # bucket 17
+        rng.integers(18, 22, size=100),  # bucket 21
+        np.full(5, 28),                  # sparse tail: 5 rows < batch
+    ]).astype(np.int32)
+    buckets = (17, 21, 29)
+    batch = 16
+    batches = list(index_iterator(
+        len(num_atom), batch, shuffle=True, seed=1, drop_last=True,
+        bucket_sizes=buckets, num_atom=num_atom,
+    ))
+    seen = np.concatenate([idx for _, idx in batches])
+    # every selected row fits its batch's n_pad
+    for n_pad, idx in batches:
+        assert num_atom[idx].max() <= n_pad
+    # at most batch-1 rows dropped in the whole epoch, and the tail rows
+    # (indices 220..224) are among the trained rows
+    assert len(seen) >= len(num_atom) - (batch - 1)
+    assert len(set(seen.tolist())) == len(seen)
+    tail = set(range(220, 225))
+    assert tail & set(seen.tolist()), "sparse tail bucket never trained"
+
+
 def test_estimate_bytes_sane():
     store, ds, cfg = _store_and_ds()
     est = estimate_bytes(ds, "ir")
@@ -205,13 +233,19 @@ def test_sharded_bucket_iterator_contract():
             assert block.min() >= 0 and block.max() < shard
             assert per_shard[d][block].max() <= n_pad
 
-    # drop_last accounting: per bucket, steps == global count // global batch
+    # drop_last accounting with carry-up: leftover rows of each bucket roll
+    # into the next-larger bucket's count, so sparse tail buckets still get
+    # steps (device_store.sharded_bucket_index_iterator)
     counts = {bs: 0 for bs in buckets}
     for n_pad, _ in a:
         counts[n_pad] += 1
     b_of = np.searchsorted(buckets, num_atom)
+    gb = n_dev * per_dev
+    leftover = 0
     for bi, bs in enumerate(buckets):
-        assert counts[bs] == int((b_of == bi).sum()) // (n_dev * per_dev)
+        total = int((b_of == bi).sum()) + leftover
+        assert counts[bs] == total // gb
+        leftover = total % gb
 
 
 def test_sharded_bucket_iterator_empty_shard_fallback():
