@@ -72,7 +72,11 @@ def resolve_runtime_config(config, n_devices: int):
 def _init_model_and_state(config, sample_batch, rng):
     model = create_model(config)
     tx = optim_lib.get_optimizer(config)
-    n = config.data.max_node
+    # init shapes must track the sample batch, not config.data.max_node:
+    # under bucketed padding the first batch is padded to its bucket's
+    # n_pad (< max_node) and the masks below come straight from it. The
+    # parameter tree is N-independent, so any n initialises the same state.
+    n = sample_batch["atom_mask"].shape[1]
     bs = sample_batch["atom_mask"].shape[0]
     # 2D pipelines carry no positions in xh (ref losses.py:494)
     xh_dim = config.data.atom_types + int(config.model.include_fc_charge)
@@ -233,6 +237,14 @@ def diffspectra_train(config, config_original_qm9, workdir):
     os.makedirs(ckpt_dir, exist_ok=True)
     state = ckpt_lib.restore_for_resume(workdir, state)
     initial_step = int(state.step)
+    warm_path = config.training.get("warm_start", "")
+    if initial_step == 0 and warm_path:
+        # cross-machine warm start (warm_state.py): only when the workdir
+        # has no checkpoint of its own — a real resume always wins
+        from . import warm_state as warm_lib
+
+        state = warm_lib.load_warm_state(state, warm_path)
+        initial_step = int(state.step)
     if initial_step == 0:
         logging.info("%s", config)
 

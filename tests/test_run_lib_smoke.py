@@ -266,3 +266,42 @@ def test_eval_top_k_candidates(tmp_path, caplog):
     with caplog.at_level(_logging.INFO):
         run_lib.evaluate(cfg, None, workdir, "eval")
     assert any("Top-2 accuracy" in r.getMessage() for r in caplog.records)
+
+
+def test_init_with_bucket_padded_first_batch():
+    """_init_model_and_state must take its N from the sample batch, not
+    config.data.max_node: under bucketed TRAIN padding the first batch off
+    the iterator is padded to its bucket's n_pad (< max_node), and mixing
+    max_node-shaped zeros with bucket-shaped masks crashed the production
+    quality run at model init (regression, 2026-08-18)."""
+    import jax.numpy as jnp
+
+    from diffspectra_tpu.utils import masks as M
+
+    cfg = smoke.get_config()
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.data.max_node = 12
+    cfg = run_lib.resolve_runtime_config(cfg, 1)
+
+    def fake_batch(n_pad):
+        node_mask, edge_mask = M.build_masks(jnp.full((4,), n_pad), n_pad)
+        return {
+            "atom_mask": np.asarray(node_mask[..., 0]),
+            "edge_mask": np.asarray(edge_mask),
+            "context": np.abs(
+                np.random.default_rng(0).normal(size=(4, 3501))
+            ).astype(np.float32),
+        }
+
+    # bucket-padded batch (n_pad 8 < max_node 12) must initialise the SAME
+    # parameter tree as a max_node batch (the tree is N-independent)
+    _, _, state_bucket = run_lib._init_model_and_state(
+        cfg, fake_batch(8), jax.random.PRNGKey(0)
+    )
+    _, _, state_full = run_lib._init_model_and_state(
+        cfg, fake_batch(cfg.data.max_node), jax.random.PRNGKey(0)
+    )
+    shapes = lambda s: jax.tree_util.tree_map(lambda x: x.shape, s.params)
+    assert shapes(state_bucket) == shapes(state_full)
