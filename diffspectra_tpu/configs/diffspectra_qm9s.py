@@ -124,6 +124,11 @@ def get_config():
     # capture a jax.profiler trace of steps [init+10, init+15) to
     # <workdir>/profile
     training.profile = False
+    # path to a warm-start .npz (warm_state.py): when set and no checkpoint
+    # exists in the workdir, params/EMA/batch_stats/step are restored from
+    # it (bf16-rounded; optimizer state fresh) so a training campaign can
+    # continue across machines via the repository
+    training.warm_start = ""
 
     # optimisation
     config.optim = optim = ml_collections.ConfigDict()

@@ -24,6 +24,29 @@ done
 # 99ms wall; pair-grid compute scales ~N^2 and buckets [17,21,25,29] track
 # the QM9 atom-count histogram, so the mix should land well under 99ms —
 # the bucketed *sampling* sweep won 62.6->78.6 mols/s the same way).
+# Warm start: if the repo carries an exported warm state (artifacts/*.npz,
+# written by tools/export_warm_state.py and committed) and the local workdir
+# has no checkpoint, training continues from it — the scratch disk holding
+# exp/ does not survive across build machines, the repository does.
+WARM_NPZ="${WARM_NPZ:-/root/repo/artifacts/warm_qm9s_ir.npz}"
+if [ -z "${RESUME_STEP:-}" ] && [ ! -d /root/repo/exp/quality_run/checkpoints ] \
+   && [ -f "$WARM_NPZ" ]; then
+  export QUALITY_WARM_START="$WARM_NPZ"
+  RESUME_STEP=$(python - "$WARM_NPZ" <<'EOF'
+import sys, numpy as np
+print(int(np.load(sys.argv[1])["raw:step"]))
+EOF
+)
+  echo "$(date '+%F %T') resume: warm start from $WARM_NPZ at step $RESUME_STEP"
+fi
+# Fresh start: no local checkpoint AND no committed warm state means the
+# campaign begins at step 0 (scratch disk wiped between machines before a
+# warm export ever ran) — size the step target and floor accordingly.
+if [ -z "${RESUME_STEP:-}" ] && [ ! -d /root/repo/exp/quality_run/checkpoints ]; then
+  RESUME_STEP=0
+  MIN_STEPS="${MIN_STEPS:-50000}"
+  echo "$(date '+%F %T') resume: fresh start (no checkpoint, no warm state)"
+fi
 RESUME_STEP="${RESUME_STEP:-308000}"
 MAX_STEPS="${MAX_STEPS:-500000}"
 MIN_STEPS="${MIN_STEPS:-325000}"
@@ -61,5 +84,12 @@ QUALITY_STEPS="$target" WATCHDOG_MAX_RESTARTS=40 WATCHDOG_STALL_SECS=1200 \
   python tools/tpu_quality_run.py > /tmp/watchdog.out 2>&1 &
 echo $! > /tmp/watchdog.pid
 echo "$(date '+%F %T') resume: watchdog pid $(cat /tmp/watchdog.pid)"
+
+# periodic warm-state export: persists the campaign into the repository
+# every hour while training runs (tools/periodic_warm_export.sh docstring —
+# a machine switch must never again cost 300k steps)
+bash tools/periodic_warm_export.sh > /tmp/warm_export_loop.log 2>&1 &
+echo $! > /tmp/warm_export.pid
+echo "$(date '+%F %T') resume: warm-export loop pid $(cat /tmp/warm_export.pid)"
 
 FINAL_CKPT="$final_ckpt" bash tools/session_pipeline.sh

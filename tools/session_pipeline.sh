@@ -42,6 +42,15 @@ export QUALITY_DATA_SIZE=32768
 # outage-shortened) training produced — set by resume_train_and_pipeline.sh
 FC="${FINAL_CKPT:-20}"
 
+# 0. persist the trained weights into the repository (the exp/ scratch disk
+# does not survive across build machines; the bf16 warm state does)
+run_job export_warm_state timeout 1800 python tools/export_warm_state.py
+if [ -f /root/repo/artifacts/warm_qm9s_ir.npz ]; then
+  git -C /root/repo add artifacts/warm_qm9s_ir.npz
+  git -C /root/repo diff --cached --quiet || git -C /root/repo commit -m \
+    "Update trained warm-state weights from the quality run" || true
+fi
+
 # Per-job timeouts: eval jobs run without the training watchdog, and the
 # TPU transport can wedge mid-run — a hung job must not eat the session.
 

@@ -41,6 +41,9 @@ def main():
     cfg.training.snapshot_freq_for_preemption = 5000
     cfg.training.snapshot_sampling = False
     cfg.optim.warmup = min(5000, steps // 10)
+    # cross-machine warm start (warm_state.py): used only when the workdir
+    # has no checkpoint of its own
+    cfg.training.warm_start = os.environ.get("QUALITY_WARM_START", "")
 
     from _overrides import apply_env_overrides
 
