@@ -41,6 +41,15 @@ export QUALITY_DATA_SIZE=32768
 # FINAL_CKPT: number of the last numbered checkpoint the (possibly
 # outage-shortened) training produced — set by resume_train_and_pipeline.sh
 FC="${FINAL_CKPT:-20}"
+# The launcher's plan can overshoot reality (backend outages or a crash-loop
+# can cut training short of its step target): trust the filesystem — use the
+# highest numbered checkpoint that actually exists.
+actual_fc=$(ls -d "$TRAIN_WORKDIR"/checkpoints/checkpoint_* 2>/dev/null \
+  | sed 's/.*checkpoint_//' | sort -n | tail -1)
+if [ -n "$actual_fc" ] && [ "$actual_fc" != "$FC" ]; then
+  echo "pipeline: planned final ckpt $FC, actual on disk $actual_fc — using actual"
+  FC="$actual_fc"
+fi
 
 # 0. persist the trained weights into the repository (the exp/ scratch disk
 # does not survive across build machines; the bf16 warm state does)
