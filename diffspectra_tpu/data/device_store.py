@@ -329,49 +329,81 @@ def sharded_bucket_index_iterator(
     per-bucket shard_map programs in lockstep across hosts.
 
     Scheduling: the number of bucket-b steps is the GLOBAL row count of b
-    divided by the global batch (drop_last semantics); shard-local shortfall
-    (a shard holding fewer bucket-b rows than the schedule consumes) wraps
-    around that shard's permuted bucket list — sample reuse instead of a
-    cross-shard exchange. Random row->shard assignment keeps shards near the
-    global bucket histogram, so reuse is rare; a shard with ZERO rows in a
-    bucket falls back to its rows with num_atom <= bucket size (always
-    shape-valid). Buckets infeasible on some shard even then are skipped.
+    plus carried leftover counts, divided by the global batch (drop_last
+    semantics with carry-up, matching the single-chip iterator); each
+    shard's unconsumed rows also carry up row-exactly, so carried steps
+    draw real leftover molecules. Shard-local shortfall (a shard holding
+    fewer rows than the schedule consumes) wraps around that shard's draw
+    list — sample reuse instead of a cross-shard exchange. Random
+    row->shard assignment keeps shards near the global bucket histogram,
+    so reuse is rare; a shard with ZERO rows in a bucket falls back to its
+    rows with num_atom <= bucket size (always shape-valid). Buckets
+    infeasible on some shard even then are skipped, rows and counts rolling
+    up to the next bucket.
     """
     bucket_sizes = sorted(int(b) for b in bucket_sizes)
     rng = np.random.default_rng(seed)
     per_shard = np.asarray(num_atom).reshape(n_dev, shard_size)
     n_buckets = len(bucket_sizes)
 
-    # shard-local candidate pools per bucket, independently permuted
-    pools = []  # pools[d][b] -> np.ndarray of shard-local offsets
+    # shard-local candidate pools per bucket, independently permuted, plus
+    # shape-valid fallbacks (any row with num_atom <= bucket size) for
+    # shards holding zero rows of a bucket
+    pools = []      # pools[d][b] -> shard-local offsets with bucket == b
+    fallbacks = []  # fallbacks[d][b] -> shape-valid rows under bucket b
     for d in range(n_dev):
         b_of = np.searchsorted(bucket_sizes, per_shard[d])
-        shard_pools = []
+        shard_pools, shard_fb = [], []
         for b in range(n_buckets):
             rows = np.where(b_of == b)[0]
-            if rows.size == 0:
-                rows = np.where(per_shard[d] <= bucket_sizes[b])[0]
             if shuffle and rows.size:
                 rows = rng.permutation(rows)
             shard_pools.append(rows)
+            shard_fb.append(np.where(per_shard[d] <= bucket_sizes[b])[0])
         pools.append(shard_pools)
+        fallbacks.append(shard_fb)
 
     b_of_all = np.searchsorted(bucket_sizes, per_shard.reshape(-1))
     global_batch = n_dev * per_dev_batch
-    schedule = []
-    # Global leftover counts carry UP into the next-larger bucket so sparse
-    # tail buckets still get steps (single-chip index_iterator has the
-    # exact-row version of this; here the carried steps draw from the
-    # target bucket's pools with wraparound reuse — approximate but keeps
-    # the globally-agreed schedule a pure function of (num_atom, seed)).
+
+    # Exact-row carry-up (mirrors the single-chip iterator): each shard's
+    # unconsumed rows from bucket b PREPEND to its bucket b+1 draw list, so
+    # the extra steps the carried counts schedule draw the actual leftover
+    # rows — not wraparound duplicates of a possibly tiny target-bucket
+    # pool. Wraparound reuse remains only for genuine per-shard shortfall
+    # (random row->shard assignment keeps shards near the global bucket
+    # histogram, so it is rare). The schedule stays a pure function of
+    # (num_atom, seed): every process computes the same sequence with no
+    # collective, keeping per-bucket shard_map programs in lockstep.
+    lists = [[None] * n_buckets for _ in range(n_dev)]
+    carry = [np.empty(0, dtype=np.int64) for _ in range(n_dev)]
+    steps_of = [0] * n_buckets
     leftover = 0
     for b in range(n_buckets):
+        feasible = True
+        for d in range(n_dev):
+            rows = np.concatenate([carry[d], pools[d][b]])
+            if rows.size == 0:
+                rows = fallbacks[d][b].astype(np.int64)
+            lists[d][b] = rows
+            feasible &= rows.size > 0
         total = int((b_of_all == b).sum()) + leftover
-        steps, leftover = total // global_batch, total % global_batch
-        if any(pools[d][b].size == 0 for d in range(n_dev)):
+        if not feasible:
+            # bucket infeasible on some shard even via fallback: skip it,
+            # rolling counts AND rows up to the next bucket
             leftover = total
+            for d in range(n_dev):
+                carry[d] = np.concatenate([carry[d], pools[d][b]])
             continue
-        schedule.extend([b] * steps)
+        steps_of[b], leftover = total // global_batch, total % global_batch
+        consumed = steps_of[b] * per_dev_batch
+        for d in range(n_dev):
+            own = np.concatenate([carry[d], pools[d][b]])
+            carry[d] = (
+                own[consumed:] if consumed < own.size
+                else np.empty(0, dtype=np.int64)
+            )
+    schedule = [b for b in range(n_buckets) for _ in range(steps_of[b])]
     if shuffle:
         rng.shuffle(schedule)
 
@@ -379,7 +411,7 @@ def sharded_bucket_index_iterator(
     for b in schedule:
         blocks = []
         for d in range(n_dev):
-            rows = pools[d][b]
+            rows = lists[d][b]
             take = (cursor[d, b] + np.arange(per_dev_batch)) % rows.size
             cursor[d, b] += per_dev_batch
             blocks.append(rows[take])

@@ -34,6 +34,7 @@ from .layers import (
     GaussianLayer,
     LearnedSinusoidalPosEmb,
     edge_skip_head_first,
+    skip_head_mlp_tail,
     modulate,
 )
 from .specformer import SpecFormer
@@ -456,15 +457,10 @@ class DMT_WO_EQ(nn.Module):
         # see layers.edge_skip_head_first for the exact-math argument)
         De = self.edge_hidden_dim
         first = edge_skip_head_first(edge_attr, cat_e, L, cat_edge_dim, De)
-
-        def mlp_tail(x, width, out, prefix):
-            x = nn.silu(x)
-            x = nn.Dense(width // 2, name=f"{prefix}_1")(x)
-            x = nn.silu(x)
-            return nn.Dense(out, name=f"{prefix}_2")(x)
-
-        edge_exist = mlp_tail(first[..., :De], De, 1, "edge_exist_mlp")
-        edge_type = mlp_tail(first[..., De:], De, self.edge_ch - 1, "edge_type_mlp")
+        edge_exist = skip_head_mlp_tail(first[..., :De], De, 1, "edge_exist_mlp")
+        edge_type = skip_head_mlp_tail(
+            first[..., De:], De, self.edge_ch - 1, "edge_type_mlp"
+        )
         edge_pred = jnp.concatenate([edge_exist, edge_type], axis=-1)
         edge_final = M.symmetrize_edges(edge_pred * edge_mask[..., None])
 

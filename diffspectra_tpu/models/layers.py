@@ -253,6 +253,18 @@ class DenseTransMixLayer(nn.Module):
         return out.reshape(B, N, H * C).astype(jnp.float32)
 
 
+def skip_head_mlp_tail(x, width, out, prefix):
+    """Layers 1-2 of an edge skip-concat prediction head (ref
+    models/dmt.py:227-247): silu -> Dense(width//2) -> silu -> Dense(out),
+    consuming ``edge_skip_head_first``'s output. Shared by DMT and
+    DMT_WO_EQ; must be called from inside the owning module's
+    ``@nn.compact`` ``__call__`` so the params attach to its scope."""
+    x = nn.silu(x)
+    x = nn.Dense(width // 2, name=f"{prefix}_1")(x)
+    x = nn.silu(x)
+    return nn.Dense(out, name=f"{prefix}_2")(x)
+
+
 def edge_skip_head_first(edge_attr, cat_e, n_layers, cat_dim, width):
     """First layer of the two edge skip-concat prediction heads, computed
     without the HBM round trips of the naive form (shared by DMT and

@@ -309,3 +309,44 @@ def test_device_store_train_allspectra_mesh(tmp_path):
     cfg.training.snapshot_sampling = False
     state = run_lib.train(cfg, None, str(tmp_path / "wd"))
     assert int(state.step) == cfg.training.n_iters + 1
+
+
+def test_sharded_bucket_carry_draws_leftover_rows():
+    """Carried steps must draw the actual leftover rows from smaller
+    buckets, not wraparound duplicates of a tiny tail-bucket pool
+    (regression: 5 tail rows filling a 128-slot carried step ~25x each
+    while the leftovers that justified the step went untrained)."""
+    from diffspectra_tpu.data.device_store import sharded_bucket_index_iterator
+
+    n_dev, shard, per_dev = 2, 32, 8
+    rng = np.random.default_rng(11)
+    # shard 0: mostly small molecules + 3 tail rows; shard 1: small only
+    s0 = np.concatenate([
+        rng.integers(5, 17, size=29), np.asarray([28, 29, 29])
+    ]).astype(np.int32)
+    s1 = rng.integers(5, 17, size=shard).astype(np.int32)
+    num_atom = np.concatenate([s0, s1])
+    buckets = (17, 29)
+
+    out = list(sharded_bucket_index_iterator(
+        num_atom, shard, n_dev, per_dev, buckets, seed=5))
+    tail_batches = [idx for n_pad, idx in out if n_pad == 29]
+    assert tail_batches, "carried counts must schedule tail-bucket steps"
+
+    per_shard = num_atom.reshape(n_dev, shard)
+    draws0 = np.concatenate([idx[:per_dev] for idx in tail_batches])
+    # shard 0's tail steps draw from carry(leftover small rows) + 3 tail
+    # rows: the 3 tail rows must not dominate via wraparound
+    tail_rows = set(np.where(per_shard[0] >= 18)[0].tolist())
+    frac_tail = np.isin(draws0, list(tail_rows)).mean()
+    assert frac_tail < 0.6, (
+        f"tail rows are {frac_tail:.0%} of shard-0 tail-bucket draws — "
+        "carried leftover rows are not being consumed"
+    )
+    # and carried (small) leftover rows genuinely appear
+    assert (~np.isin(draws0, list(tail_rows))).any()
+    # every drawn row still fits the bucket
+    for n_pad, idx in out:
+        for d in range(n_dev):
+            block = idx[d * per_dev : (d + 1) * per_dev]
+            assert per_shard[d][block].max() <= n_pad

@@ -305,3 +305,30 @@ def test_init_with_bucket_padded_first_batch():
     )
     shapes = lambda s: jax.tree_util.tree_map(lambda x: x.shape, s.params)
     assert shapes(state_bucket) == shapes(state_full)
+
+
+def test_fresh_train_with_bucketed_padding(tmp_path):
+    """End-to-end: a step-0 training run with data.bucket_sizes set (the
+    production quality-run configuration) must train and checkpoint. The
+    resume-into-bucketed test above starts bucketed training from a warm
+    state; this one covers the cold-start path that crashed on hardware
+    (init shapes vs bucket-padded first batch)."""
+    cfg = smoke.get_config()
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.data.max_node = 12
+    cfg.data.synthetic_size = 64
+    cfg.data.bucket_sizes = (8, 12)
+    cfg.training.base_batch_size = 4
+    cfg.training.batch_size = 4
+    cfg.training.n_iters = 3
+    cfg.training.snapshot_freq = 3
+    cfg.training.snapshot_freq_for_preemption = 3
+    cfg.training.log_freq = 2
+    cfg.training.snapshot_sampling = False
+    cfg.training.num_devices = 1
+
+    workdir = str(tmp_path / "run")
+    run_lib.train(cfg, None, workdir)
+    assert os.path.exists(os.path.join(workdir, "checkpoints", "checkpoint_1"))

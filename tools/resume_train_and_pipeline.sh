@@ -25,31 +25,43 @@ done
 # the QM9 atom-count histogram, so the mix should land well under 99ms —
 # the bucketed *sampling* sweep won 62.6->78.6 mols/s the same way).
 # Warm start: if the repo carries an exported warm state (artifacts/*.npz,
-# written by tools/export_warm_state.py and committed) and the local workdir
-# has no checkpoint, training continues from it — the scratch disk holding
-# exp/ does not survive across build machines, the repository does.
+# written by tools/export_warm_state.py and committed), hand it to the
+# trainer UNCONDITIONALLY — run_lib only consumes it when the workdir has
+# no restorable checkpoint of its own (a real resume always wins), so this
+# is a pure fallback. Do NOT gate on the checkpoints directory: run_lib
+# creates that directory at startup, so after any early crash it exists
+# even though nothing restorable was ever written.
 WARM_NPZ="${WARM_NPZ:-/root/repo/artifacts/warm_qm9s_ir.npz}"
-if [ -z "${RESUME_STEP:-}" ] && [ ! -d /root/repo/exp/quality_run/checkpoints ] \
-   && [ -f "$WARM_NPZ" ]; then
-  export QUALITY_WARM_START="$WARM_NPZ"
-  RESUME_STEP=$(python - "$WARM_NPZ" <<'EOF'
+[ -f "$WARM_NPZ" ] && export QUALITY_WARM_START="$WARM_NPZ"
+
+# RESUME_STEP feeds only the step-target estimate. Best available signal:
+# the last step line the previous run logged; else the warm npz's step;
+# else a genuine fresh start at 0.
+if [ -z "${RESUME_STEP:-}" ]; then
+  if [ -d /root/repo/exp/quality_run/checkpoints-meta/checkpoint ]; then
+    RESUME_STEP=$(grep -oa "step: [0-9]*" tools/quality_run.log 2>/dev/null \
+      | tail -1 | grep -o "[0-9]*")
+    [ -n "${RESUME_STEP:-}" ] && \
+      echo "$(date '+%F %T') resume: workdir checkpoint, last logged step $RESUME_STEP"
+  fi
+  if [ -z "${RESUME_STEP:-}" ] && [ -f "$WARM_NPZ" ]; then
+    RESUME_STEP=$(python - "$WARM_NPZ" <<'EOF'
 import sys, numpy as np
 print(int(np.load(sys.argv[1])["raw:step"]))
 EOF
 )
-  echo "$(date '+%F %T') resume: warm start from $WARM_NPZ at step $RESUME_STEP"
+    echo "$(date '+%F %T') resume: warm start from $WARM_NPZ at step $RESUME_STEP"
+  fi
+  if [ -z "${RESUME_STEP:-}" ]; then
+    RESUME_STEP=0
+    echo "$(date '+%F %T') resume: fresh start (no checkpoint, no warm state)"
+  fi
 fi
-# Fresh start: no local checkpoint AND no committed warm state means the
-# campaign begins at step 0 (scratch disk wiped between machines before a
-# warm export ever ran) — size the step target and floor accordingly.
-if [ -z "${RESUME_STEP:-}" ] && [ ! -d /root/repo/exp/quality_run/checkpoints ]; then
-  RESUME_STEP=0
-  MIN_STEPS="${MIN_STEPS:-50000}"
-  echo "$(date '+%F %T') resume: fresh start (no checkpoint, no warm state)"
-fi
-RESUME_STEP="${RESUME_STEP:-308000}"
 MAX_STEPS="${MAX_STEPS:-500000}"
-MIN_STEPS="${MIN_STEPS:-325000}"
+# floor relative to the resume point (at least one more numbered 25k
+# checkpoint) — an absolute floor would force an unreachable target after
+# a low-step restart and starve the eval pipeline of its wall-clock budget
+MIN_STEPS="${MIN_STEPS:-$(( RESUME_STEP + 25000 ))}"
 now=$(date +%s)
 deadline="${TRAIN_DEADLINE_EPOCH:-$((now + 21600))}"
 fit=$(( RESUME_STEP + (deadline - now) * 1000 / 90 ))

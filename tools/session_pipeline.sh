@@ -44,8 +44,12 @@ FC="${FINAL_CKPT:-20}"
 # The launcher's plan can overshoot reality (backend outages or a crash-loop
 # can cut training short of its step target): trust the filesystem — use the
 # highest numbered checkpoint that actually exists.
+# NOTE: filter to purely numeric names — a SIGKILL mid-save leaves orbax
+# tmp dirs like checkpoint_13.orbax-checkpoint-tmp-<ts> that would win the
+# numeric sort with a non-numeric value (same guard as
+# diffspectra_tpu/checkpoint.py latest_numbered_checkpoint)
 actual_fc=$(ls -d "$TRAIN_WORKDIR"/checkpoints/checkpoint_* 2>/dev/null \
-  | sed 's/.*checkpoint_//' | sort -n | tail -1)
+  | sed 's/.*checkpoint_//' | grep -x '[0-9][0-9]*' | sort -n | tail -1)
 if [ -n "$actual_fc" ] && [ "$actual_fc" != "$FC" ]; then
   echo "pipeline: planned final ckpt $FC, actual on disk $actual_fc — using actual"
   FC="$actual_fc"
@@ -55,9 +59,12 @@ fi
 # does not survive across build machines; the bf16 warm state does)
 run_job export_warm_state timeout 1800 python tools/export_warm_state.py
 if [ -f /root/repo/artifacts/warm_qm9s_ir.npz ]; then
-  git -C /root/repo add artifacts/warm_qm9s_ir.npz
-  git -C /root/repo diff --cached --quiet || git -C /root/repo commit -m \
-    "Update trained warm-state weights from the quality run" || true
+  # pathspec-scoped add/commit (as in periodic_warm_export.sh): never sweep
+  # unrelated staged files into the weights commit
+  git -C /root/repo add -- artifacts/warm_qm9s_ir.npz
+  git -C /root/repo commit -m \
+    "Update trained warm-state weights from the quality run" \
+    -- artifacts/warm_qm9s_ir.npz || true
 fi
 
 # Per-job timeouts: eval jobs run without the training watchdog, and the
