@@ -42,6 +42,12 @@ def get_config():
     # synthetic fallback when no QM9S download is present (tests/benches)
     data.synthetic = False
     data.synthetic_size = 4096
+    # spectra informativeness: 1 = bond-pattern counts only (Top-1
+    # identifiability ceiling ~0.17, tools/ceiling_analysis.py); 2 = adds
+    # WL-1/WL-2 local-environment peaks (near-injective, like real DFT
+    # spectra)
+    data.synthetic_fidelity = 1
+    data.synthetic_cache = ""  # dir to persist generated sets (optional)
     # device-resident dataset (single-device train fast path): upload the
     # split to HBM once, assemble batches on device — per-step host traffic
     # becomes the index vector (see data/device_store.py)

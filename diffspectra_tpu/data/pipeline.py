@@ -86,6 +86,8 @@ def get_dataset(config, transform: bool = True):
         raw = generate_synthetic(
             seed=config.seed, size=config.data.synthetic_size, max_n=max_n,
             info_name=config.data.info_name,
+            fidelity=config.data.get("synthetic_fidelity", 1),
+            cache_dir=config.data.get("synthetic_cache", ""),
         )
         split_rng = np.random.default_rng(config.seed)
         split_fn = _conditional_splits if conditional else _original_splits

@@ -151,7 +151,41 @@ def _random_tree_molecule(rng, n, max_n):
     return out_types, out_pos, edge, n_total
 
 
-def _structure_spectrum(rng, length, atom_types, edge_type, n_atoms, channel):
+def _wl_environments(atom_types, edge_type, n_atoms):
+    """Per-atom WL-1 and WL-2 local-environment labels (stable hashes).
+
+    WL-1: (own type, sorted multiset of (neighbor type, bond order)).
+    WL-2: (own WL-1 label, sorted multiset of neighbor WL-1 labels).
+    Real vibrational modes are functions of the local bonding environment;
+    these labels are the graph-theoretic analogue, and their multiset is
+    near-injective over isomorphism classes of QM9-sized molecules (see
+    tools/ceiling_analysis.py)."""
+    import hashlib
+
+    def h64(obj) -> int:
+        return int.from_bytes(
+            hashlib.md5(repr(obj).encode()).digest()[:8], "little"
+        )
+
+    nbrs = [
+        [(int(atom_types[j]), int(edge_type[i, j]))
+         for j in np.nonzero(edge_type[i, :n_atoms])[0]]
+        for i in range(n_atoms)
+    ]
+    wl1 = [h64((int(atom_types[i]), tuple(sorted(nbrs[i]))))
+           for i in range(n_atoms)]
+    wl2 = [
+        h64((wl1[i], tuple(sorted(
+            wl1[j] for j in np.nonzero(edge_type[i, :n_atoms])[0]
+        ))))
+        for i in range(n_atoms)
+    ]
+    return wl1, wl2
+
+
+def _structure_spectrum(
+    rng, length, atom_types, edge_type, n_atoms, channel, fidelity=1
+):
     """Deterministic structure -> spectrum mapping (+ small noise).
 
     Each (atom_a, atom_b, bond_order) pattern contributes a Gaussian peak at
@@ -159,7 +193,15 @@ def _structure_spectrum(rng, length, atom_types, edge_type, n_atoms, channel):
     count, plus element-count baseline peaks — so the conditional model can
     actually recover structure from the spectrum (real QM9S spectra are DFT
     functions of the structure; random spectra would make conditioning
-    uninformative)."""
+    uninformative).
+
+    ``fidelity=2`` adds peaks keyed on per-atom WL-1/WL-2 local-environment
+    labels. The bond-pattern-count fingerprint of fidelity=1 identifies only
+    ~17% of molecules uniquely (Top-1 identifiability ceiling measured by
+    tools/ceiling_analysis.py) — isomers with equal bond multisets share a
+    spectrum. WL-2 environment multisets are near-injective over QM9-sized
+    isomorphism classes, lifting the ceiling to ~1.0, which is the regime
+    real DFT spectra live in (distinct isomers have distinct IR spectra)."""
     x = np.arange(length, dtype=np.float64)
     y = np.zeros(length)
 
@@ -185,15 +227,51 @@ def _structure_spectrum(rng, length, atom_types, edge_type, n_atoms, channel):
         if n_e:
             h = (elem * 17 + channel * 29) % 23
             y += peak(0.1 + 0.8 * h / 23.0, 0.03, 3.0 * n_e)
+    if fidelity >= 2:
+        # local-environment peaks: one narrow Gaussian per distinct WL
+        # label, amplitude ~ its atom count. Two levels at two different
+        # hash moduli; P chosen prime and large enough that the ~25-atom
+        # label sets rarely collide within one spectrum.
+        from collections import Counter
+
+        wl1, wl2 = _wl_environments(atom_types, edge_type, n_atoms)
+        for level, labels, amp in ((1, wl1, 6.0), (2, wl2, 4.0)):
+            P = 1009 if level == 1 else 2003
+            for lab, cnt in Counter(labels).items():
+                frac = ((lab + channel * 7919) % P) / P
+                y += peak(0.03 + 0.94 * frac, 0.004, amp * cnt)
     # small stochastic background so spectra aren't exactly degenerate
     y += np.abs(rng.normal(0, 0.1, size=length))
     return y.astype(np.float32)
 
 
-def generate(seed: int, size: int, max_n: int, info_name: str = "qm9_second_half") -> Dict[str, np.ndarray]:
+def generate(
+    seed: int,
+    size: int,
+    max_n: int,
+    info_name: str = "qm9_second_half",
+    fidelity: int = 1,
+    cache_dir: str = "",
+) -> Dict[str, np.ndarray]:
     """Generate a raw synthetic dataset with the QM9S schema:
     atom_type [M, N], pos [M, N, 3], edge_type [M, N, N] (bond orders),
-    num_atom [M], fc [M, N], uv/ir/raman [M, L]."""
+    num_atom [M], fc [M, N], uv/ir/raman [M, L].
+
+    ``cache_dir`` (optional): persist the generated arrays to
+    ``synth_<seed>_<size>_<max_n>_<info>_f<fidelity>.npz`` there and reuse on
+    the next call — generation is host Python at ~5ms/molecule, and training
+    relaunches (watchdog restarts) must not pay it repeatedly."""
+    cache_path = None
+    if cache_dir:
+        import os
+
+        cache_path = os.path.join(
+            cache_dir,
+            f"synth_{seed}_{size}_{max_n}_{info_name}_f{fidelity}.npz",
+        )
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                return {k: z[k] for k in z.files}
     rng = np.random.default_rng(seed)
     info = get_dataset_info(info_name)
     n_atoms = np.minimum(_sample_n_atoms(rng, info, size), max_n)
@@ -216,14 +294,15 @@ def generate(seed: int, size: int, max_n: int, info_name: str = "qm9_second_half
         k: np.stack(
             [
                 _structure_spectrum(
-                    rng, L, atom_type[m], edge_type[m], int(n_atoms[m]), ch
+                    rng, L, atom_type[m], edge_type[m], int(n_atoms[m]), ch,
+                    fidelity=fidelity,
                 )
                 for m in range(size)
             ]
         )
         for ch, (k, L) in enumerate(SPEC_LENS.items())
     }
-    return dict(
+    out = dict(
         atom_type=atom_type,
         pos=pos,
         edge_type=edge_type,
@@ -231,3 +310,11 @@ def generate(seed: int, size: int, max_n: int, info_name: str = "qm9_second_half
         num_atom=n_atoms.astype(np.int64),
         **spectra,
     )
+    if cache_path:
+        import os
+
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, **out)
+        os.replace(tmp, cache_path)
+    return out

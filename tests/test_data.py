@@ -182,3 +182,54 @@ def test_original_qm9_split():
     assert len(cond_first.indices) != len(first.indices) or (
         cond_first.indices != first.indices
     ).any()
+
+
+def test_synthetic_fidelity2_distinguishes_isomers():
+    """fidelity=2 spectra must separate molecules that share a bond-pattern
+    multiset (the fidelity-1 equivalence class, tools/ceiling_analysis.py)
+    whenever their WL-environment multisets differ. Hand-built heavy-atom
+    skeletons of propan-1-ol vs propan-2-ol: both have 2x C-C + 1x C-O
+    bonds and equal element counts (same fidelity-1 class), but different
+    WL-1 environments (O on a terminal vs the central carbon)."""
+    from diffspectra_tpu.data.synthetic import _structure_spectrum
+
+    def build(edges, types, max_n=12):
+        n = len(types)
+        e = np.zeros((max_n, max_n), dtype=np.int64)
+        for a, b in edges:
+            e[a, b] = e[b, a] = 1
+        t = np.zeros(max_n, dtype=np.int64)
+        t[:n] = types
+        return t, e, n
+
+    # heavy skeletons only (H omitted; element counts equal, bond-pattern
+    # counts equal: 2x C-C, 1x C-O)
+    # propan-1-ol: C0-C1, C1-C2, C2-O3
+    t1, e1, n1 = build([(0, 1), (1, 2), (2, 3)], [1, 1, 1, 3])
+    # propan-2-ol: C0-C1, C1-C2, C1-O3
+    t2, e2, n2 = build([(0, 1), (1, 2), (1, 3)], [1, 1, 1, 3])
+
+    rng1, rng2 = np.random.default_rng(0), np.random.default_rng(0)
+    f1_a = _structure_spectrum(rng1, 701, t1, e1, n1, 0, fidelity=1)
+    f1_b = _structure_spectrum(rng2, 701, t2, e2, n2, 0, fidelity=1)
+    # fidelity 1: identical bond-pattern counts -> identical spectra
+    np.testing.assert_allclose(f1_a, f1_b, atol=1e-6)
+
+    rng1, rng2 = np.random.default_rng(0), np.random.default_rng(0)
+    f2_a = _structure_spectrum(rng1, 701, t1, e1, n1, 0, fidelity=2)
+    f2_b = _structure_spectrum(rng2, 701, t2, e2, n2, 0, fidelity=2)
+    assert np.abs(f2_a - f2_b).max() > 1.0
+
+
+def test_synthetic_cache_roundtrip(tmp_path):
+    a = generate(seed=5, size=16, max_n=12, fidelity=2, cache_dir=str(tmp_path))
+    files = list(tmp_path.glob("synth_*.npz"))
+    assert len(files) == 1
+    b = generate(seed=5, size=16, max_n=12, fidelity=2, cache_dir=str(tmp_path))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    # different fidelity -> different cache entry, different spectra
+    c = generate(seed=5, size=16, max_n=12, fidelity=1, cache_dir=str(tmp_path))
+    assert len(list(tmp_path.glob("synth_*.npz"))) == 2
+    np.testing.assert_array_equal(a["atom_type"], c["atom_type"])
+    assert np.abs(a["ir"] - c["ir"]).max() > 1.0

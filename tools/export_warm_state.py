@@ -34,6 +34,9 @@ def main():
     cfg.data.spectra_version = "ir"
     cfg.data.synthetic = True
     cfg.data.synthetic_size = int(os.environ.get("QUALITY_DATA_SIZE", 32768))
+    from _overrides import apply_env_overrides
+
+    apply_env_overrides(cfg)  # match the campaign's data config (cache etc.)
     cfg = run_lib.resolve_runtime_config(cfg, 1)
 
     workdir = os.environ.get("TRAIN_WORKDIR", "/root/repo/exp/quality_run")

@@ -20,6 +20,7 @@ cd "$(dirname "$0")/.."
 
 INTERVAL="${WARM_EXPORT_INTERVAL:-3600}"
 OUT="${WARM_OUT:-/root/repo/artifacts/warm_qm9s_ir.npz}"
+WD="${TRAIN_WORKDIR:-/root/repo/exp/quality_run}"
 REL="${OUT#/root/repo/}"
 LAST_STEP="-1"
 
@@ -30,9 +31,10 @@ while true; do
     echo "$(date '+%F %T') warm-export: watchdog gone, exiting"
     exit 0
   fi
-  [ -d /root/repo/exp/quality_run/checkpoints ] || continue
-  if ! WARM_OUT="$OUT" timeout 1500 python tools/export_warm_state.py \
-      > /tmp/warm_export.log 2>&1; then
+  [ -d "$WD/checkpoints" ] || continue
+  if ! WARM_OUT="$OUT" TRAIN_WORKDIR="$WD" \
+      TRAIN_OVERRIDES="${EVAL_OVERRIDES:-}" timeout 1500 \
+      python tools/export_warm_state.py > /tmp/warm_export.log 2>&1; then
     echo "$(date '+%F %T') warm-export: export failed (see /tmp/warm_export.log)"
     continue
   fi

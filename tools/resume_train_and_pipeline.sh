@@ -13,6 +13,15 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# Campaign parameters (env-overridable; defaults = the original v1 run)
+export TRAIN_WORKDIR="${TRAIN_WORKDIR:-/root/repo/exp/quality_run}"
+export QUALITY_DATA_SIZE="${QUALITY_DATA_SIZE:-32768}"
+# overrides shared by train/eval/export (dataset identity); perf probes
+# in the pipeline deliberately don't see them
+export EVAL_OVERRIDES="${EVAL_OVERRIDES:-}"
+TRAIN_OVR="${TRAIN_OVR:-data.bucket_sizes=(17,21,25,29),$EVAL_OVERRIDES}"
+export PIPE_TAG="${PIPE_TAG:-}"
+
 echo "$(date '+%F %T') resume: probing TPU backend"
 until timeout 300 python tools/tpu_probe.py; do
   echo "$(date '+%F %T') resume: TPU unavailable, retrying in 180s"
@@ -38,7 +47,7 @@ WARM_NPZ="${WARM_NPZ:-/root/repo/artifacts/warm_qm9s_ir.npz}"
 # the last step line the previous run logged; else the warm npz's step;
 # else a genuine fresh start at 0.
 if [ -z "${RESUME_STEP:-}" ]; then
-  if [ -d /root/repo/exp/quality_run/checkpoints-meta/checkpoint ]; then
+  if [ -d "$TRAIN_WORKDIR/checkpoints-meta/checkpoint" ]; then
     RESUME_STEP=$(grep -oa "step: [0-9]*" tools/quality_run.log 2>/dev/null \
       | tail -1 | grep -o "[0-9]*")
     [ -n "${RESUME_STEP:-}" ] && \
@@ -91,7 +100,7 @@ echo "$(date '+%F %T') resume: TPU healthy; step target $target (ckpt $final_ckp
 #   healthy child mid-first-compile.
 QUALITY_STEPS="$target" WATCHDOG_MAX_RESTARTS=40 WATCHDOG_STALL_SECS=1200 \
   WATCHDOG_COMPILE_GRACE=5400 \
-  TRAIN_OVERRIDES="data.bucket_sizes=(17,21,25,29)" \
+  TRAIN_OVERRIDES="$TRAIN_OVR" \
   python tools/run_with_watchdog.py tools/quality_run.log \
   python tools/tpu_quality_run.py > /tmp/watchdog.out 2>&1 &
 echo $! > /tmp/watchdog.pid

@@ -12,7 +12,10 @@
 # already ends in DONE are skipped, so the pipeline can be relaunched.
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p tools/pipeline_logs
+# PIPE_TAG: subdirectory for this campaign's job logs (so a new campaign's
+# jobs don't get skipped by a previous campaign's DONE markers)
+LOGDIR="tools/pipeline_logs${PIPE_TAG:+/$PIPE_TAG}"
+mkdir -p "$LOGDIR"
 
 wd_pid=$(cat /tmp/watchdog.pid 2>/dev/null || echo "")
 if [ -n "$wd_pid" ]; then
@@ -23,7 +26,7 @@ echo "pipeline: training watchdog exited; starting eval jobs"
 
 run_job() {
   local name="$1"; shift
-  local log="tools/pipeline_logs/${name}.log"
+  local log="$LOGDIR/${name}.log"
   if [ -f "$log" ] && tail -1 "$log" | grep -q "^DONE rc=0"; then
     echo "pipeline: $name already DONE, skipping"
     return 0
@@ -35,8 +38,13 @@ run_job() {
   echo "pipeline: $name finished rc=$rc"
 }
 
-export TRAIN_WORKDIR=/root/repo/exp/quality_run
-export QUALITY_DATA_SIZE=32768
+export TRAIN_WORKDIR="${TRAIN_WORKDIR:-/root/repo/exp/quality_run}"
+export QUALITY_DATA_SIZE="${QUALITY_DATA_SIZE:-32768}"
+# data-config overrides the CAMPAIGN trained with (synthetic_fidelity,
+# synthetic_cache, ...): eval/export jobs must see them so they read the
+# same dataset; perf probes must NOT (they measure fixed protocols), so
+# this is passed per-job rather than exported
+EV="${EVAL_OVERRIDES:-}"
 
 # FINAL_CKPT: number of the last numbered checkpoint the (possibly
 # outage-shortened) training produced — set by resume_train_and_pipeline.sh
@@ -57,7 +65,8 @@ fi
 
 # 0. persist the trained weights into the repository (the exp/ scratch disk
 # does not survive across build machines; the bf16 warm state does)
-run_job export_warm_state timeout 1800 python tools/export_warm_state.py
+run_job export_warm_state env TRAIN_OVERRIDES="$EV" \
+  timeout 1800 python tools/export_warm_state.py
 if [ -f /root/repo/artifacts/warm_qm9s_ir.npz ]; then
   # pathspec-scoped add/commit (as in periodic_warm_export.sh): never sweep
   # unrelated staged files into the weights commit
@@ -72,22 +81,24 @@ fi
 
 # 1. final checkpoint, reference protocol (10k mols / 1000 ancestral steps)
 run_job eval_ckpt_final env EVAL_CKPT="$FC" EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
-  timeout 7200 python tools/tpu_eval_10k.py
+  TRAIN_OVERRIDES="$EV" timeout 7200 python tools/tpu_eval_10k.py
 
 # 2. Top-K protocol at the final checkpoint (Top-1/Top-10 headline)
 run_job topk_ckpt_final env EVAL_CKPT="$FC" EVAL_SAMPLES=2000 EVAL_STEPS=100 \
   EVAL_METHOD=dpm_solver EVAL_CANDIDATES=10 EVAL_SUB_GEOMETRY=0 \
-  EVAL_SAVE_MOLS=false timeout 5400 python tools/tpu_eval_10k.py
+  EVAL_SAVE_MOLS=false TRAIN_OVERRIDES="$EV" \
+  timeout 5400 python tools/tpu_eval_10k.py
 
 # 3. bench (north-star metric)
 run_job bench timeout 3600 python bench.py
 
 # 4. intermediate checkpoints for the budget-scaling table
-for ck in 12 16; do
+for ck in ${MID_CKPTS:-12 16}; do
   [ "$ck" -ge "$FC" ] && continue
   [ -d "$TRAIN_WORKDIR/checkpoints/checkpoint_$ck" ] || continue
   run_job "eval_ckpt$ck" env EVAL_CKPT="$ck" EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
-    EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false timeout 5400 python tools/tpu_eval_10k.py
+    EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false TRAIN_OVERRIDES="$EV" \
+    timeout 5400 python tools/tpu_eval_10k.py
 done
 
 # 5. perf probes (ROADMAP item 5 / VERDICT r1 #6): the untested levers.
@@ -123,7 +134,7 @@ run_job probe_train_buckets env TRAIN_WORKDIR=/root/repo/exp/probe_buckets \
 # 0.65 ODE at 100 steps, RESULTS.md)?
 run_job eval_dpm_sde env EVAL_CKPT="$FC" EVAL_SAMPLES=2048 EVAL_STEPS=100 \
   EVAL_METHOD=dpm_solver_sde EVAL_SUB_GEOMETRY=0 EVAL_SAVE_MOLS=false \
-  timeout 3600 python tools/tpu_eval_10k.py
+  TRAIN_OVERRIDES="$EV" timeout 3600 python tools/tpu_eval_10k.py
 
 # 8. SpecFormer masked-patch pretrain -> fine-tune delta (ROADMAP item 8,
 # first hardware exercise): pretrain the spectra encoder, then compare two

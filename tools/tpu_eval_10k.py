@@ -38,6 +38,13 @@ def main():
     cfg.eval.sub_geometry = os.environ.get("EVAL_SUB_GEOMETRY", "1") == "1"
     cfg.eval.save_mols = os.environ.get("EVAL_SAVE_MOLS", "true")
 
+    # the eval must see the same data-config overrides the training run used
+    # (synthetic_fidelity/cache, bucket_sizes, ...) or it would evaluate
+    # against a different dataset than the checkpoint was trained on
+    from _overrides import apply_env_overrides
+
+    apply_env_overrides(cfg)
+
     workdir = os.environ.get("TRAIN_WORKDIR", "/root/repo/exp/tpu_train_smoke")
     logging.basicConfig(
         level=logging.INFO,
