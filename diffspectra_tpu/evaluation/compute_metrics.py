@@ -426,14 +426,22 @@ def evaluate_jsonl_predictions(input_data, output_csv: str):
 
     n = len(true_mols)
     matches = [b for b in rows["inchikey_match"] if b is not None]
+
+    def _nanmean(xs):
+        # all-NaN columns are expected in MolGraph mode (MACCS/Fraggle are
+        # RDKit-only by design, see _pair_scores_graph) — report nan without
+        # numpy's RuntimeWarning noise
+        arr = np.asarray(xs, dtype=np.float64)
+        return arr[~np.isnan(arr)].mean() if (~np.isnan(arr)).any() else float("nan")
+
     values = [
         f"{sum(matches) / n:.4f}",
-        f"{np.nanmean(rows['mces']):.4f}",
-        f"{np.nanmean(rows['tanimoto']):.4f}",
-        f"{np.nanmean(rows['cosine']):.4f}",
-        f"{np.nanmean(rows['tanimoto_maccs']):.4f}",
-        f"{np.nanmean(rows['fraggle']):.4f}",
-        f"{np.nanmean(rows['fg']):.4f}",
+        f"{_nanmean(rows['mces']):.4f}",
+        f"{_nanmean(rows['tanimoto']):.4f}",
+        f"{_nanmean(rows['cosine']):.4f}",
+        f"{_nanmean(rows['tanimoto_maccs']):.4f}",
+        f"{_nanmean(rows['fraggle']):.4f}",
+        f"{_nanmean(rows['fg']):.4f}",
     ]
     df = pd.DataFrame({"Evaluation Metric": METRIC_NAMES, "Value": values})
     df.to_csv(output_csv, index=False, encoding="utf-8-sig")
