@@ -89,6 +89,14 @@ run_job topk_ckpt_final env EVAL_CKPT="$FC" EVAL_SAMPLES=2000 EVAL_STEPS=100 \
   EVAL_SAVE_MOLS=false TRAIN_OVERRIDES="$EV" \
   timeout 5400 python tools/tpu_eval_10k.py
 
+# 2b. Top-K under the full reference protocol (1000 ancestral steps — the
+# number directly comparable to the reference's Top-10 headline; ~17 min
+# at the measured 20 mols/s production sweep)
+run_job topk_ancestral_final env EVAL_CKPT="$FC" EVAL_SAMPLES=2000 \
+  EVAL_STEPS=1000 EVAL_CANDIDATES=10 EVAL_SUB_GEOMETRY=0 \
+  EVAL_SAVE_MOLS=false TRAIN_OVERRIDES="$EV" \
+  timeout 7200 python tools/tpu_eval_10k.py
+
 # 3. bench (north-star metric)
 run_job bench timeout 3600 python bench.py
 
