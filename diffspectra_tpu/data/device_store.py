@@ -359,7 +359,12 @@ def sharded_bucket_index_iterator(
             if shuffle and rows.size:
                 rows = rng.permutation(rows)
             shard_pools.append(rows)
-            shard_fb.append(np.where(per_shard[d] <= bucket_sizes[b])[0])
+            fb = np.where(per_shard[d] <= bucket_sizes[b])[0]
+            if shuffle and fb.size:
+                # unpermuted fallbacks would deterministically over-train
+                # the lowest-index shape-valid rows on zero-row shards
+                fb = rng.permutation(fb)
+            shard_fb.append(fb)
         pools.append(shard_pools)
         fallbacks.append(shard_fb)
 

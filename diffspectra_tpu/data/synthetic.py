@@ -184,7 +184,8 @@ def _wl_environments(atom_types, edge_type, n_atoms):
 
 
 def _structure_spectrum(
-    rng, length, atom_types, edge_type, n_atoms, channel, fidelity=1
+    rng, length, atom_types, edge_type, n_atoms, channel, fidelity=1,
+    wl_envs=None,
 ):
     """Deterministic structure -> spectrum mapping (+ small noise).
 
@@ -234,7 +235,9 @@ def _structure_spectrum(
         # label sets rarely collide within one spectrum.
         from collections import Counter
 
-        wl1, wl2 = _wl_environments(atom_types, edge_type, n_atoms)
+        # wl_envs: channel-independent, so generate() computes them once
+        # per molecule rather than once per spectral channel
+        wl1, wl2 = wl_envs or _wl_environments(atom_types, edge_type, n_atoms)
         for level, labels, amp in ((1, wl1, 6.0), (2, wl2, 4.0)):
             P = 1009 if level == 1 else 2003
             for lab, cnt in Counter(labels).items():
@@ -290,12 +293,20 @@ def generate(
         # valence-saturated molecules (charged species would need different
         # bond counts per allowed_fc_bonds)
 
+    wl_cache = (
+        [
+            _wl_environments(atom_type[m], edge_type[m], int(n_atoms[m]))
+            for m in range(size)
+        ]
+        if fidelity >= 2
+        else [None] * size
+    )
     spectra = {
         k: np.stack(
             [
                 _structure_spectrum(
                     rng, L, atom_type[m], edge_type[m], int(n_atoms[m]), ch,
-                    fidelity=fidelity,
+                    fidelity=fidelity, wl_envs=wl_cache[m],
                 )
                 for m in range(size)
             ]
@@ -314,7 +325,10 @@ def generate(
         import os
 
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = cache_path + ".tmp.npz"
+        # per-writer tmp name: concurrent generators (training child +
+        # periodic warm export on first launch) must not interleave writes
+        # into one tmp file; each os.replace promotes a complete archive
+        tmp = f"{cache_path}.tmp{os.getpid()}.npz"
         np.savez(tmp, **out)
         os.replace(tmp, cache_path)
     return out

@@ -19,8 +19,14 @@ export QUALITY_DATA_SIZE="${QUALITY_DATA_SIZE:-32768}"
 # overrides shared by train/eval/export (dataset identity); perf probes
 # in the pipeline deliberately don't see them
 export EVAL_OVERRIDES="${EVAL_OVERRIDES:-}"
-TRAIN_OVR="${TRAIN_OVR:-data.bucket_sizes=(17,21,25,29),$EVAL_OVERRIDES}"
-export PIPE_TAG="${PIPE_TAG:-}"
+# NB: ${EVAL_OVERRIDES:+,...} — a bare trailing comma would make
+# ast.literal_eval parse 'data.bucket_sizes=(17,21,25,29),' as a nested
+# tuple and crash every training start
+TRAIN_OVR="${TRAIN_OVR:-data.bucket_sizes=(17,21,25,29)${EVAL_OVERRIDES:+,$EVAL_OVERRIDES}}"
+export PIPE_TAG="${PIPE_TAG:-$(basename "$TRAIN_WORKDIR")}"
+# per-campaign step log: the watchdog's stall detector and the RESUME_STEP
+# estimate below must not read another campaign's step lines
+export QUALITY_LOG="${QUALITY_LOG:-tools/train_$(basename "$TRAIN_WORKDIR").log}"
 
 echo "$(date '+%F %T') resume: probing TPU backend"
 until timeout 300 python tools/tpu_probe.py; do
@@ -48,8 +54,15 @@ WARM_NPZ="${WARM_NPZ:-/root/repo/artifacts/warm_qm9s_ir.npz}"
 # else a genuine fresh start at 0.
 if [ -z "${RESUME_STEP:-}" ]; then
   if [ -d "$TRAIN_WORKDIR/checkpoints-meta/checkpoint" ]; then
-    RESUME_STEP=$(grep -oa "step: [0-9]*" tools/quality_run.log 2>/dev/null \
-      | tail -1 | grep -o "[0-9]*")
+    # per-campaign log first; the legacy shared quality_run.log only as a
+    # fallback for pre-split campaigns (never across campaigns)
+    RESUME_STEP=$(grep -oa "step: [0-9]*" "$QUALITY_LOG" 2>/dev/null \
+      | tail -1 | grep -o "[0-9]*$")
+    if [ -z "${RESUME_STEP:-}" ] && \
+       [ "$TRAIN_WORKDIR" = "/root/repo/exp/quality_run" ]; then
+      RESUME_STEP=$(grep -oa "step: [0-9]*" tools/quality_run.log 2>/dev/null \
+        | tail -1 | grep -o "[0-9]*$")
+    fi
     [ -n "${RESUME_STEP:-}" ] && \
       echo "$(date '+%F %T') resume: workdir checkpoint, last logged step $RESUME_STEP"
   fi
@@ -101,7 +114,7 @@ echo "$(date '+%F %T') resume: TPU healthy; step target $target (ckpt $final_ckp
 QUALITY_STEPS="$target" WATCHDOG_MAX_RESTARTS=40 WATCHDOG_STALL_SECS=1200 \
   WATCHDOG_COMPILE_GRACE=5400 \
   TRAIN_OVERRIDES="$TRAIN_OVR" \
-  python tools/run_with_watchdog.py tools/quality_run.log \
+  python tools/run_with_watchdog.py "$QUALITY_LOG" \
   python tools/tpu_quality_run.py > /tmp/watchdog.out 2>&1 &
 echo $! > /tmp/watchdog.pid
 echo "$(date '+%F %T') resume: watchdog pid $(cat /tmp/watchdog.pid)"

@@ -12,9 +12,14 @@
 # already ends in DONE are skipped, so the pipeline can be relaunched.
 set -u
 cd "$(dirname "$0")/.."
+export TRAIN_WORKDIR="${TRAIN_WORKDIR:-/root/repo/exp/quality_run}"
 # PIPE_TAG: subdirectory for this campaign's job logs (so a new campaign's
-# jobs don't get skipped by a previous campaign's DONE markers)
-LOGDIR="tools/pipeline_logs${PIPE_TAG:+/$PIPE_TAG}"
+# jobs don't get skipped by a previous campaign's DONE markers). Default:
+# the campaign workdir's name — NOT the shared root, whose committed DONE
+# markers from an earlier campaign would silently skip the final eval and
+# warm-state export after further training.
+PIPE_TAG="${PIPE_TAG:-$(basename "$TRAIN_WORKDIR")}"
+LOGDIR="tools/pipeline_logs/$PIPE_TAG"
 mkdir -p "$LOGDIR"
 
 wd_pid=$(cat /tmp/watchdog.pid 2>/dev/null || echo "")
@@ -38,7 +43,6 @@ run_job() {
   echo "pipeline: $name finished rc=$rc"
 }
 
-export TRAIN_WORKDIR="${TRAIN_WORKDIR:-/root/repo/exp/quality_run}"
 export QUALITY_DATA_SIZE="${QUALITY_DATA_SIZE:-32768}"
 # data-config overrides the CAMPAIGN trained with (synthetic_fidelity,
 # synthetic_cache, ...): eval/export jobs must see them so they read the

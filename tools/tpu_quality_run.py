@@ -50,16 +50,20 @@ def main():
     apply_env_overrides(cfg)
 
     workdir = os.environ.get("TRAIN_WORKDIR", "/root/repo/exp/quality_run")
+    # per-campaign step log (QUALITY_LOG env, set by the resume launcher);
+    # default matches the historical path so a watchdog that tails it keeps
+    # seeing step lines across restarts
+    log_path = os.environ.get(
+        "QUALITY_LOG",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "quality_run.log"
+        ),
+    )
     logging.basicConfig(
         level=logging.INFO,
         handlers=[
             logging.StreamHandler(sys.stdout),
-            logging.FileHandler(
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "quality_run.log"
-                ),
-                mode="a",
-            ),
+            logging.FileHandler(log_path, mode="a"),
         ],
         force=True,
     )
