@@ -5,7 +5,26 @@
 # steps -> Top-1 curve without waiting for the full post-training pipeline.
 # Logs to tools/pipeline_logs/v2/probe_ckpt<N>.log. Exits when the training
 # watchdog is gone (the main pipeline takes over from there).
+#
+# CONTENTION CAVEAT (measured 2026-08-19): on a SINGLE-chip host the probe's
+# 100-step DPM sweep starves the training process of the TPU for its whole
+# ~25min duration — long enough to trip the training watchdog's 1200s stall
+# timer, which then kills and restarts a perfectly healthy trainer (~20min
+# of restore/upload/compile lost per probe). Net effect is roughly HALVED
+# campaign throughput. Therefore: when a training watchdog is alive, this
+# loop now refuses to start unless PROBE_DESPITE_TRAINING=1 (use only on
+# multi-chip hosts where the probe can run on its own device). The
+# post-training pipeline (session_pipeline.sh MID_CKPTS) provides the
+# scaling-table points instead.
 set -u
+if [ "${PROBE_DESPITE_TRAINING:-0}" != "1" ]; then
+  wd_pid=$(cat /tmp/watchdog.pid 2>/dev/null || echo "")
+  if [ -n "$wd_pid" ] && kill -0 "$wd_pid" 2>/dev/null; then
+    echo "probe-loop: training watchdog $wd_pid is alive and" \
+      "PROBE_DESPITE_TRAINING != 1 — refusing to contend for the chip"
+    exit 0
+  fi
+fi
 cd "$(dirname "$0")/.."
 WD=/root/repo/exp/quality_v2
 mkdir -p tools/pipeline_logs/v2
