@@ -557,6 +557,17 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
             test_graphs, dataset_info, config.data.root
         )
 
+    # Train-set WL hash set for the seen/unseen-target generalization split
+    # (computed lazily once per eval: ~0.3ms/graph of host hashing).
+    _train_hash_cache = {}
+
+    def _train_hash_set():
+        if "h" not in _train_hash_cache:
+            _train_hash_cache["h"] = {
+                g.wl_hash() for g in train_graphs if g is not None
+            }
+        return _train_hash_cache["h"]
+
     for ckpt in ckpts:
         ckpt_path = ckpt_lib.numbered_checkpoint_dir(workdir, ckpt)
         if not os.path.exists(ckpt_path):
@@ -626,12 +637,13 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
             # permutation redraws the SAME targets, so candidate k for
             # target i comes from sweep k's position i.
             num_candidates = int(config.eval.get("num_candidates", 1))
+            # hits tracked per target incrementally: memory is O(targets)
+            # booleans, not O(K x targets) candidate molecules (at 10k
+            # targets x K=10 the old candidate lists dominated host RAM)
+            hit_3d = [cm._exact_match(t, m) for t, m in zip(gt_graphs, sample_mols)]
+            hit_2d = [cm._exact_match(t, m) for t, m in zip(gt_graphs, complete_mols)]
+            top1_3d, top1_2d = list(hit_3d), list(hit_2d)
             if num_candidates > 1:
-                # hits tracked per target incrementally: memory is O(targets)
-                # booleans, not O(K x targets) candidate molecules (at 10k
-                # targets x K=10 the old candidate lists dominated host RAM)
-                hit_3d = [cm._exact_match(t, m) for t, m in zip(gt_graphs, sample_mols)]
-                hit_2d = [cm._exact_match(t, m) for t, m in zip(gt_graphs, complete_mols)]
                 for extra in range(num_candidates - 1):
                     logging.info(
                         "Top-K candidate sweep %d/%d", extra + 2, num_candidates
@@ -658,6 +670,44 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
                 logging.info(
                     "Top-%d accuracy || 2D: %.4f", num_candidates,
                     sum(hit_2d) / n_valid,
+                )
+
+            # Seen/unseen-target generalization split: a pure memorizer
+            # scores 0 on targets whose exact graph never occurs in the
+            # train reference set, so the unseen-target accuracy is the
+            # compositional-generalization axis (RESULTS.md ceiling
+            # analysis; train set logged above — original-QM9 or fallback).
+            gt_hashes = [None if g is None else g.wl_hash() for g in gt_graphs]
+            splits = [("Top-1 2D", top1_2d)]
+            if not config.only_2D:
+                splits.append(("Top-1 3D", top1_3d))
+            if num_candidates > 1:
+                splits.append((f"Top-{num_candidates} 2D", hit_2d))
+                if not config.only_2D:
+                    splits.append((f"Top-{num_candidates} 3D", hit_3d))
+            train_hashes = _train_hash_set()
+            n_seen = sum(1 for h in gt_hashes if h is not None and h in train_hashes)
+            n_tot = sum(1 for h in gt_hashes if h is not None)
+            logging.info(
+                "Generalization || memorization bound: %.4f of targets "
+                "(%d/%d) have their exact graph in the train set",
+                n_seen / max(n_tot, 1), n_seen, n_tot,
+            )
+            for tag, hits in splits:
+                sh = st = uh = ut = 0
+                for hit, h in zip(hits, gt_hashes):
+                    if h is None:
+                        continue
+                    if h in train_hashes:
+                        st += 1
+                        sh += bool(hit)
+                    else:
+                        ut += 1
+                        uh += bool(hit)
+                logging.info(
+                    "Generalization || %s exact match: seen-target %.4f "
+                    "(%d/%d), unseen-target %.4f (%d/%d)",
+                    tag, sh / max(st, 1), sh, st, uh / max(ut, 1), uh, ut,
                 )
 
             cm.compute_similarity_metrics(
