@@ -89,10 +89,14 @@ def _kernel(node_i_ref, node_j_ref, edge_ref, dist_ref, normed_ref,
         preferred_element_type=jnp.float32,
     ).reshape(bb, n, n, dh)
 
+    # shift/scale arrive as [bb, 1, Dh] (the extra middle axis keeps their
+    # BlockSpec's last two dims (1, Dh) inside Mosaic's (8, 128)
+    # divisible-or-full rule, which (bb, Dh) tiles with bb<8 violate)
     gate = _chain_math(
         node_i_ref[:].astype(jnp.float32), node_j_ref[:].astype(jnp.float32),
         e_proj, d_proj, bias_ref[:].astype(jnp.float32),
-        shift_ref[:].astype(jnp.float32), scale_ref[:].astype(jnp.float32),
+        jnp.squeeze(shift_ref[:], axis=1).astype(jnp.float32),
+        jnp.squeeze(scale_ref[:], axis=1).astype(jnp.float32),
         w0_ref[:].astype(jnp.float32), b0_ref[:].astype(jnp.float32),
         w1_ref[:].astype(jnp.float32),
         adj_ref[:].astype(jnp.float32), eps_ln=eps_ln,
@@ -170,8 +174,8 @@ def equi_update_fused(node_i, node_j, edge_attr, dist, normed_diff,
             pl.BlockSpec((de, dh), lambda i: (0, 0)),
             pl.BlockSpec((dd, dh), lambda i: (0, 0)),
             pl.BlockSpec((dh,), lambda i: (0,)),
-            pl.BlockSpec((bb, dh), lambda i: (i, 0)),
-            pl.BlockSpec((bb, dh), lambda i: (i, 0)),
+            pl.BlockSpec((bb, 1, dh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, 1, dh), lambda i: (i, 0, 0)),
             pl.BlockSpec((dh, dh), lambda i: (0, 0)),
             pl.BlockSpec((dh,), lambda i: (0,)),
             pl.BlockSpec((dh, 1 + a), lambda i: (0, 0)),
@@ -179,4 +183,4 @@ def equi_update_fused(node_i, node_j, edge_attr, dist, normed_diff,
         out_specs=pl.BlockSpec((bb, N, 3), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(node_i, node_j, edge_attr, dist, normed_diff, adj_extra, edge_mask,
-      w_e, w_d, bias, shift, scale, w0, b0, w1)
+      w_e, w_d, bias, shift[:, None, :], scale[:, None, :], w0, b0, w1)
