@@ -95,6 +95,11 @@ def get_config():
     model.remat_policy = "full"
     # bf16 SpecFormer compute inside the DMT graph (see models/dmt.py gate)
     model.specformer_bf16 = False
+    # fused Pallas kernels for the pair-grid attention + equi-update chain
+    # (ops/pallas_attention.py, ops/pallas_equi_update.py). Experimental:
+    # interpret-verified, but this container's remote TPU compiler rejects
+    # Mosaic payloads — see PALLAS.md for the fallback decision tree.
+    model.use_pallas = False
     # encode the spectra ONCE per train step and share the embedding across
     # the self-conditioning double forward (losses._maybe_reuse_context);
     # False = reference semantics (SpecFormer re-runs inside each forward).

@@ -70,7 +70,20 @@ def resolve_runtime_config(config, n_devices: int):
 
 
 def _init_model_and_state(config, sample_batch, rng):
-    model = create_model(config)
+    if config.model.get("use_pallas", False):
+        # The fused Pallas kernels are forward-only (pallas_call has no VJP
+        # here): they serve the sampling/eval path (_inference_model). The
+        # TRAINING model must stay on the XLA twins or grad() fails to
+        # linearize — clear the flag for this instance only.
+        logging.warning(
+            "model.use_pallas is inference-only; training uses XLA kernels"
+        )
+        with config.unlocked():
+            config.model.use_pallas = False
+            model = create_model(config)
+            config.model.use_pallas = True
+    else:
+        model = create_model(config)
     tx = optim_lib.get_optimizer(config)
     # init shapes must track the sample batch, not config.data.max_node:
     # under bucketed padding the first batch is padded to its bucket's
