@@ -27,7 +27,11 @@ python -m diffspectra_tpu.main --config $CFG --workdir exp/ir --mode eval \
     --eval_folder eval_fast
 
 # Stochastic fast-eval: SDE-DPM-Solver++ re-injects per-step noise —
-# use when low-step 3D validity matters more than determinism.
+# measured the better 100-step profile (recovers ~1/3 of the ODE's 3D
+# validity gap to 1000-step ancestral, +4.4pt 2D Top-1 at the v2 final
+# checkpoint; RESULTS.md "SDE variant"). Prefer this when a fast eval
+# should track the ancestral protocol; the ODE profile above when
+# determinism matters.
 python -m diffspectra_tpu.main --config $CFG --workdir exp/ir --mode eval \
     --config.data.spectra_version ir \
     --config.sampling.method dpm_solver_sde --config.sampling.steps 100 \
