@@ -38,8 +38,12 @@ def test_two_process_device_store_training():
         for pid in range(2)
     ]
     outs = []
+    # 1500s: the two subprocesses each compile a shard_map train step on
+    # host CPU; when a TPU campaign (trainer + watchdog) shares this VM the
+    # compile alone can exceed 10 min (observed 2026-08-19: 600s timeout hit
+    # with XLA's slow_operation_alarm firing mid-compile).
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
