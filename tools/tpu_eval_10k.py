@@ -4,9 +4,44 @@ tools/tpu_train_smoke.py. Logs to tools/eval_10k.log."""
 
 import logging
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def resolve_ckpt(workdir: str, want: int) -> int:
+    """Best evaluable checkpoint number for ``want``.
+
+    A campaign cut short by a transport wedge can die before its FIRST
+    numbered snapshot (cadence 25k steps) even though the 5k-cadence meta
+    checkpoint is fresh. Prefer the requested numbered checkpoint; else the
+    highest numbered one on disk; else materialize the meta checkpoint
+    under the requested number (same orbax StandardCheckpointer layout for
+    both flavors, diffspectra_tpu/checkpoint.py) so the staged eval
+    pipeline still evaluates the newest weights instead of crashing.
+    """
+    from diffspectra_tpu import checkpoint as ckpt_lib
+
+    if os.path.exists(ckpt_lib.numbered_checkpoint_dir(workdir, want)):
+        return want
+    latest = ckpt_lib.latest_numbered_checkpoint(workdir)
+    if latest is not None:
+        logging.warning(
+            "checkpoint_%d missing; evaluating latest on disk checkpoint_%d",
+            want, latest,
+        )
+        return latest
+    meta = ckpt_lib.meta_checkpoint_dir(workdir)
+    if os.path.exists(meta):
+        dst = ckpt_lib.numbered_checkpoint_dir(workdir, want)
+        logging.warning(
+            "no numbered checkpoint on disk; copying meta checkpoint %s -> %s "
+            "(restored step is logged at load)", meta, dst,
+        )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copytree(meta, dst)
+    return want
 
 
 def main():
@@ -30,8 +65,10 @@ def main():
     cfg.training.eval_samples = 128
     cfg.eval.batch_size = int(os.environ.get("EVAL_BATCH", 128))
     cfg.eval.num_samples = int(os.environ.get("EVAL_SAMPLES", 10000))
-    cfg.eval.begin_ckpt = int(os.environ.get("EVAL_CKPT", 1))
-    cfg.eval.end_ckpt = int(os.environ.get("EVAL_CKPT", 1))
+    workdir = os.environ.get("TRAIN_WORKDIR", "/root/repo/exp/tpu_train_smoke")
+    ck = resolve_ckpt(workdir, int(os.environ.get("EVAL_CKPT", 1)))
+    cfg.eval.begin_ckpt = ck
+    cfg.eval.end_ckpt = ck
     cfg.sampling.steps = int(os.environ.get("EVAL_STEPS", 1000))
     cfg.sampling.method = os.environ.get("EVAL_METHOD", "ancestral")
     cfg.eval.num_candidates = int(os.environ.get("EVAL_CANDIDATES", 1))
@@ -45,7 +82,6 @@ def main():
 
     apply_env_overrides(cfg)
 
-    workdir = os.environ.get("TRAIN_WORKDIR", "/root/repo/exp/tpu_train_smoke")
     logging.basicConfig(
         level=logging.INFO,
         handlers=[
