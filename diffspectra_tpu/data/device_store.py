@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..utils import masks as M
-from .pipeline import SPECTRA_KEYS, ArrayDataset
+from .pipeline import SPECTRA_KEYS, ArrayDataset, validate_bucket_sizes
 
 
 def estimate_bytes(ds: ArrayDataset, spectra_version: str) -> int:
@@ -222,8 +222,8 @@ def index_iterator(
                 break
             yield 0, rows.astype(np.int32)
         return
-    bucket_sizes = sorted(bucket_sizes)
     assert num_atom is not None
+    bucket_sizes = validate_bucket_sizes(bucket_sizes, num_atom)
     bucket_of = np.searchsorted(bucket_sizes, num_atom[order])
     batches = []
     # Leftover rows of each bucket carry UP into the next-larger bucket
@@ -341,7 +341,7 @@ def sharded_bucket_index_iterator(
     infeasible on some shard even then are skipped, rows and counts rolling
     up to the next bucket.
     """
-    bucket_sizes = sorted(int(b) for b in bucket_sizes)
+    bucket_sizes = validate_bucket_sizes(bucket_sizes, num_atom)
     rng = np.random.default_rng(seed)
     per_shard = np.asarray(num_atom).reshape(n_dev, shard_size)
     n_buckets = len(bucket_sizes)

@@ -204,6 +204,27 @@ def _truncate_batch(rows_dict: Dict[str, np.ndarray], n_pad: int) -> Dict[str, n
     return out
 
 
+def validate_bucket_sizes(bucket_sizes, num_atom) -> list:
+    """Sort and validate bucket boundaries against the actual atom counts.
+
+    ``np.searchsorted`` assigns rows with ``num_atom > bucket_sizes[-1]``
+    to a bucket index past the end, and every bucketed iterator selects
+    rows with ``bucket_of == bi`` — out-of-range rows would silently match
+    no bucket and be excluded from EVERY epoch (the exact pathology the
+    carry-up logic eliminates for sparse tail buckets; r2 review). Fail
+    loudly instead.
+    """
+    bucket_sizes = sorted(int(b) for b in bucket_sizes)
+    top = int(np.max(num_atom)) if len(num_atom) else 0
+    if bucket_sizes and top > bucket_sizes[-1]:
+        raise ValueError(
+            f"bucket_sizes[-1]={bucket_sizes[-1]} < max atom count {top}: "
+            f"rows above the last bucket would never be trained on; add a "
+            f"bucket >= {top}"
+        )
+    return bucket_sizes
+
+
 def get_batch_iterator(
     ds: ArrayDataset,
     batch_size: int,
@@ -235,8 +256,8 @@ def get_batch_iterator(
             yield collate(ds.take(rows), spectra_version)
         return
 
-    bucket_sizes = sorted(bucket_sizes)
     num_atom = ds.arrays["num_atom"][ds.indices[order]]
+    bucket_sizes = validate_bucket_sizes(bucket_sizes, num_atom)
     bucket_of = np.searchsorted(bucket_sizes, num_atom)  # first b >= n
     batches = []
     # leftovers carry UP into the next-larger bucket (valid: n_pad only

@@ -106,7 +106,19 @@ class MolGraph:
         return True
 
     def wl_hash(self, iters: int = 4) -> str:
-        """Weisfeiler-Lehman canonical hash over (symbol, fc, bond orders)."""
+        """Weisfeiler-Lehman canonical hash over (symbol, fc, bond orders).
+
+        Memoized per instance (graphs are immutable once decoded): the
+        Top-K sweep and the generalization split re-hash the same target
+        up to 2K+1 times per eval, and the train-split hash set covers
+        tens of thousands of graphs (r2 review).
+        """
+        memo = getattr(self, "_wl_memo", None)
+        if memo is None:
+            memo = {}
+            self._wl_memo = memo
+        if iters in memo:
+            return memo[iters]
         n = self.n_atoms
         colors = [
             f"{s}|{int(c)}" for s, c in zip(self.atom_syms, self.formal_charges)
@@ -121,7 +133,8 @@ class MolGraph:
                 sig = colors[i] + "|" + ",".join(nbrs)
                 new_colors.append(hashlib.md5(sig.encode()).hexdigest()[:16])
             colors = new_colors
-        return hashlib.md5(",".join(sorted(colors)).encode()).hexdigest()
+        memo[iters] = hashlib.md5(",".join(sorted(colors)).encode()).hexdigest()
+        return memo[iters]
 
 
 def to_rdkit(mg: MolGraph):

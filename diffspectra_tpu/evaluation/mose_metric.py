@@ -141,11 +141,13 @@ def _canonical_smiles(mols) -> list:
     return out
 
 
-def _chemnet_fcd(gen_graphs, ptest, gen_mols, gen_smiles=None) -> float:
+def _chemnet_fcd(ptest, gen_mols, gen_smiles=None) -> float:
     """Real ChemNet FCD; NaN unless RDKit + converted weights are present
     (chemnet.py documents the weight-installation path). ``gen_smiles``:
-    pre-canonicalised generated SMILES, to share the sanitize pass with the
-    SNN/IntDiv path instead of re-running it over the whole set."""
+    pre-canonicalised + deduplicated generated SMILES, to share the
+    sanitize pass with the SNN/IntDiv path instead of re-running it over
+    the whole set (the reference feeds its FCD the deduplicated SMILES
+    set, ref mose_metric.py:104-110)."""
     ref_smiles = ptest.get("smiles", [])
     if not ref_smiles:
         return float("nan")
@@ -154,8 +156,22 @@ def _chemnet_fcd(gen_graphs, ptest, gen_mols, gen_smiles=None) -> float:
     if load_default() is None:
         return float("nan")
     if gen_smiles is None:
-        gen_smiles = _canonical_smiles(gen_mols)
+        gen_smiles = sorted(set(_canonical_smiles(gen_mols)))
     return fcd_from_smiles(gen_smiles, ref_smiles)
+
+
+def _mols_from_smiles(smiles_list):
+    """Reconstruct RDKit mols from canonical SMILES — the reference's
+    ``re_mols`` (ref mose_metric.py:110), i.e. the deduplicated generated
+    set every downstream metric consumes."""
+    from rdkit import Chem
+
+    out = []
+    for smi in smiles_list:
+        mol = Chem.MolFromSmiles(smi)
+        if mol is not None:
+            out.append(mol)
+    return out
 
 
 def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int = 2000, ptest_pool=None):
@@ -176,13 +192,10 @@ def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int =
             }
         pgen = _precalc(gen_graphs)
 
-        # one canonicalisation pass shared by ChemNet FCD and SNN/IntDiv
-        # (each is a full sanitize+MolToSmiles sweep over the generated set)
-        gen_smiles_all = (
-            _canonical_smiles(gen_mols)
-            if HAS_RDKIT and ptest.get("smiles")
-            else None
-        )
+        # one canonicalisation pass shared by ChemNet FCD, Morgan SNN/IntDiv
+        # and the property means (each is a full sanitize+MolToSmiles sweep
+        # over the generated set)
+        gen_smiles_all = _canonical_smiles(gen_mols) if HAS_RDKIT else None
 
         # FCD_proxy: Frechet distance over structural descriptors. The 'FCD'
         # key is reserved for the real ChemNet metric (chemnet.py) so proxy
@@ -191,26 +204,40 @@ def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int =
             metrics["FCD_proxy"] = FP.frechet_distance(pgen["desc"], ptest["desc"])
         except Exception:
             metrics["FCD_proxy"] = float("nan")
-        metrics["FCD"] = _chemnet_fcd(gen_graphs, ptest, gen_mols, gen_smiles_all)
 
         # SNN / IntDiv over the FULL sets (round 1 capped at 2000/1000 —
         # silently off-protocol; now blockwise matmuls make full sets cheap).
-        if gen_smiles_all is not None:
-            # dedup matches the reference protocol (ref mose_metric.py:105-108
-            # runs set() over gen SMILES before SNN/Frag/Scaf/IntDiv; upstream
-            # moses would keep duplicates — the reference is the spec here)
-            gen_smiles = sorted(set(gen_smiles_all))
+        # The reference DEDUPLICATES the generated set before every metric
+        # (ref mose_metric.py:104-108: set() over gen SMILES, then re_mols
+        # feed SNN/Frag/Scaf/IntDiv/Filters and the property means). The
+        # graph path gets that for free — _sanitize_graphs dedups by WL
+        # hash, so pgen/gen_graphs are already unique; the RDKit-mode
+        # SMILES/mol inputs below dedup explicitly (r2 review).
+        gen_smiles = (
+            sorted(set(gen_smiles_all)) if gen_smiles_all is not None else None
+        )
+        metrics["FCD"] = _chemnet_fcd(ptest, gen_mols, gen_smiles)
+        if gen_smiles is not None and ptest.get("smiles"):
             gen_mat = _morgan_matrix(gen_smiles)
             ref_mat = ptest.get("morgan")
             if ref_mat is None:
                 ref_mat = _morgan_matrix(ptest["smiles"])
                 ptest["morgan"] = ref_mat
         else:
-            vocab: dict = {}
-            ref_mat = FP.counters_to_csr(ptest["fps"], vocab)
-            gen_mat = FP.counters_to_csr(pgen["fps"], vocab)
-            # re-broadcast ref to the grown vocab width
+            # reference-side CSR + vocab cached across calls (multi-ckpt
+            # evals re-scored the fixed ~13k-mol reference per checkpoint);
+            # the vocab grows append-only with unseen gen features, so
+            # cached ref column indices stay valid and the copy below is
+            # only re-widened.
+            if "wl_csr" not in ptest:
+                ptest["wl_vocab"] = {}
+                ptest["wl_csr"] = FP.counters_to_csr(
+                    ptest["fps"], ptest["wl_vocab"]
+                )
+            gen_mat = FP.counters_to_csr(pgen["fps"], ptest["wl_vocab"])
+            ref_mat = ptest["wl_csr"]
             if ref_mat.shape[1] != gen_mat.shape[1]:
+                ref_mat = ref_mat.copy()
                 ref_mat.resize((ref_mat.shape[0], gen_mat.shape[1]))
         metrics["SNN"] = FP.snn_matrix(gen_mat, ref_mat)
         metrics["IntDiv"] = FP.internal_diversity_matrix(gen_mat)
@@ -218,7 +245,9 @@ def get_moses_metrics(test_mols, n_jobs: int = 1, device=None, batch_size: int =
         metrics["Scaf"] = _cos_counters(pgen["scaf"], ptest["scaf"])
 
         if HAS_RDKIT:
-            metrics.update(_rdkit_properties(gen_mols))
+            metrics.update(
+                _rdkit_properties(_mols_from_smiles(gen_smiles or []))
+            )
         else:
             from .filters import mol_passes_filters_graph
 
@@ -249,7 +278,7 @@ def get_fcd_metric(test_mols, **kwargs):
 
     def fcd_metric(gen_mols, pool=None):
         gen_graphs = _sanitize_graphs(gen_mols)
-        out = {"FCD": _chemnet_fcd(gen_graphs, ptest, gen_mols)}
+        out = {"FCD": _chemnet_fcd(ptest, gen_mols)}
         try:
             desc = np.stack([FP.descriptor_vector(m) for m in gen_graphs])
             out["FCD_proxy"] = FP.frechet_distance(desc, ptest["desc"])

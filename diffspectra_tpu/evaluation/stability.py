@@ -9,6 +9,8 @@ stand-ins are produced and the fallback metric path is used.
 
 from __future__ import annotations
 
+import logging
+
 
 import numpy as np
 
@@ -230,13 +232,23 @@ def _train_references(train_mols):
         from .molgraph import to_rdkit
 
         smiles = []
+        skipped = 0
         for mg in train_mols:
             try:
                 m = to_rdkit(mg)
                 Chem.SanitizeMol(m)
                 smiles.append(Chem.MolToSmiles(m))
             except Exception:
+                skipped += 1
                 continue
+        if skipped:
+            # molecules missing from the reference set are scored "novel"
+            # when regenerated — make the degradation visible (r2 review)
+            logging.warning(
+                "novelty reference: %d/%d train molecules failed RDKit "
+                "sanitization and were dropped (novelty is overstated by "
+                "duplicates of them)", skipped, len(train_mols),
+            )
         return smiles, None
     if train_mols and isinstance(train_mols[0], MolGraph):
         return None, {m.wl_hash() for m in train_mols}

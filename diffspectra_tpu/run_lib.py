@@ -572,12 +572,23 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
 
     # Train-set WL hash set for the seen/unseen-target generalization split
     # (computed lazily once per eval: ~0.3ms/graph of host hashing).
+    # ALWAYS built from the model's actual train split (second_train_ds),
+    # never the metric-reference set: with --config_original_qm9 the
+    # reference train set is an independent (heavily overlapping) draw of
+    # the same molecule pool, which would mark targets "seen" that the
+    # model never trained on and saturate the memorization bound (r2
+    # review). Only novelty/moses statistics use the reference sets.
     _train_hash_cache = {}
 
     def _train_hash_set():
         if "h" not in _train_hash_cache:
+            if config_original_qm9 is not None:
+                rows = second_train_ds.take(np.arange(len(second_train_ds)))
+                graphs = _rows_to_molgraphs(rows, atom_decoder)
+            else:
+                graphs = train_graphs  # same split, already materialized
             _train_hash_cache["h"] = {
-                g.wl_hash() for g in train_graphs if g is not None
+                g.wl_hash() for g in graphs if g is not None
             }
         return _train_hash_cache["h"]
 
@@ -652,9 +663,18 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
             num_candidates = int(config.eval.get("num_candidates", 1))
             # hits tracked per target incrementally: memory is O(targets)
             # booleans, not O(K x targets) candidate molecules (at 10k
-            # targets x K=10 the old candidate lists dominated host RAM)
-            hit_3d = [cm._exact_match(t, m) for t, m in zip(gt_graphs, sample_mols)]
-            hit_2d = [cm._exact_match(t, m) for t, m in zip(gt_graphs, complete_mols)]
+            # targets x K=10 the old candidate lists dominated host RAM).
+            # One memo dict shared across all K sweeps: each target is
+            # scored against K candidates, and without it the RDKit mode
+            # re-ran to_rdkit+SanitizeMol+MolToInchiKey on the target per
+            # sweep (r2 review).
+            match_cache = {}
+
+            def _match(t, m):
+                return cm._exact_match(t, m, _cache=match_cache)
+
+            hit_3d = [_match(t, m) for t, m in zip(gt_graphs, sample_mols)]
+            hit_2d = [_match(t, m) for t, m in zip(gt_graphs, complete_mols)]
             top1_3d, top1_2d = list(hit_3d), list(hit_2d)
             if num_candidates > 1:
                 for extra in range(num_candidates - 1):
@@ -666,12 +686,12 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
                     if not config.only_2D:
                         _, _, extra_3d = edm_metric(extra_processed)
                         hit_3d = [
-                            h or cm._exact_match(t, m)
+                            h or _match(t, m)
                             for h, t, m in zip(hit_3d, gt_graphs, extra_3d)
                         ]
                     _, _, extra_2d = edm_metric_2d(extra_processed)
                     hit_2d = [
-                        h or cm._exact_match(t, m)
+                        h or _match(t, m)
                         for h, t, m in zip(hit_2d, gt_graphs, extra_2d)
                     ]
                 n_valid = max(sum(1 for t in gt_graphs if t is not None), 1)

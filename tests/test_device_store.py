@@ -88,6 +88,26 @@ def test_bucketed_index_iterator_trains_sparse_tail_bucket():
     assert tail & set(seen.tolist()), "sparse tail bucket never trained"
 
 
+def test_bucketed_iterators_reject_uncovered_rows():
+    """bucket_sizes whose last bucket is below max(num_atom) would silently
+    exclude the out-of-range rows from every epoch (searchsorted assigns
+    them past the last bucket) — all bucketed iterators must fail loudly."""
+    import pytest
+
+    from diffspectra_tpu.data.device_store import sharded_bucket_index_iterator
+
+    num_atom = np.array([10, 12, 26, 29], dtype=np.int32)
+    with pytest.raises(ValueError, match="never be trained"):
+        list(index_iterator(
+            4, 2, bucket_sizes=(17, 25), num_atom=num_atom,
+        ))
+    with pytest.raises(ValueError, match="never be trained"):
+        next(sharded_bucket_index_iterator(
+            n_dev=2, shard_size=2, per_dev_batch=1,
+            bucket_sizes=(17, 25), num_atom=num_atom,
+        ))
+
+
 def test_estimate_bytes_sane():
     store, ds, cfg = _store_and_ds()
     est = estimate_bytes(ds, "ir")

@@ -180,6 +180,51 @@ def test_mose_metrics_run():
     assert res["weight"] == pytest.approx(16.043, abs=0.01)
 
 
+def test_mose_metrics_ref_stats_cached_and_stable_across_calls():
+    """Multi-checkpoint evals call the metric repeatedly: the reference-side
+    WL CSR/vocab must be computed once and later calls (whose gen sets grow
+    the vocab) must not perturb earlier-call results (r2 review)."""
+    from diffspectra_tpu.evaluation.mose_metric import get_moses_metrics
+
+    pos, at, edges = methane()
+    g = MolGraph(["C", "H", "H", "H", "H"], np.zeros(5, np.int64), edges, pos)
+    # ethane-like second molecule: introduces WL features absent from the
+    # reference set, forcing the vocab to grow between calls
+    e_edges = np.zeros((8, 8), dtype=np.int64)
+    e_edges[0, 1] = e_edges[1, 0] = 1
+    for i in (2, 3, 4):
+        e_edges[0, i] = e_edges[i, 0] = 1
+    for i in (5, 6, 7):
+        e_edges[1, i] = e_edges[i, 1] = 1
+    g2 = MolGraph(
+        ["C", "C", "H", "H", "H", "H", "H", "H"],
+        np.zeros(8, np.int64), e_edges,
+        np.random.default_rng(0).normal(size=(8, 3)),
+    )
+    # methanol-like third molecule: WL features (O environments) absent
+    # from both the reference set and the first gen set, so the middle
+    # call grows the shared vocab
+    o_edges = np.zeros((6, 6), dtype=np.int64)
+    o_edges[0, 1] = o_edges[1, 0] = 1
+    for i in (2, 3, 4):
+        o_edges[0, i] = o_edges[i, 0] = 1
+    o_edges[1, 5] = o_edges[5, 1] = 1
+    g3 = MolGraph(
+        ["C", "O", "H", "H", "H", "H"],
+        np.zeros(6, np.int64), o_edges,
+        np.random.default_rng(1).normal(size=(6, 3)),
+    )
+    metric = get_moses_metrics([g] * 5)
+    # two distinct graphs so IntDiv is defined (a single-unique-mol set
+    # has no off-diagonal similarities)
+    r1 = metric([g, g2])
+    metric([g3, g])  # grows the shared vocab
+    r3 = metric([g, g2])
+    assert np.isfinite(r1["IntDiv"])
+    assert r3["SNN"] == pytest.approx(r1["SNN"])
+    assert r3["IntDiv"] == pytest.approx(r1["IntDiv"])
+
+
 def test_top_k_exact_match():
     """Top-K exact match: a hit in ANY candidate slot counts (BASELINE.md
     Top-1/Top-10 headline protocol)."""

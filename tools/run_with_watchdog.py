@@ -60,6 +60,7 @@ class _ProgressTracker:
         self.pattern = re.compile(PROGRESS_REGEX) if PROGRESS_REGEX else None
         self.offset = self._size()
         self.mtime = _mtime(path)
+        self._carry = b""  # trailing partial line of the previous read
 
     def _size(self):
         try:
@@ -77,6 +78,7 @@ class _ProgressTracker:
         size = self._size()
         if size < self.offset:  # truncated/rotated: start over
             self.offset = 0
+            self._carry = b""
         if size == self.offset:
             return False
         try:
@@ -86,6 +88,13 @@ class _ProgressTracker:
             self.offset = size
         except OSError:
             return False
+        # Prepend the previous read's trailing partial line: a poll landing
+        # mid-write would otherwise split a progress line across two chunks
+        # and neither would match — a silently missed heartbeat that can
+        # cost a full stall-window restart (r2 review).
+        chunk = self._carry + chunk
+        nl = chunk.rfind(b"\n")
+        self._carry = chunk[nl + 1:] if nl >= 0 else chunk
         return bool(self.pattern.search(chunk.decode("utf-8", "replace")))
 
 

@@ -87,9 +87,11 @@ fi
 run_job eval_ckpt_final env EVAL_CKPT="$FC" EVAL_SAMPLES=10000 EVAL_STEPS=1000 \
   TRAIN_OVERRIDES="$EV" timeout 7200 python tools/tpu_eval_10k.py
 
-# 2. Top-K protocol at the final checkpoint (Top-1/Top-10 headline)
+# 2. Top-K protocol at the final checkpoint (Top-1/Top-10 headline).
+# SDE variant: measured +4.4pt 2D Top-1 over the ODE solver at the same
+# 100-step cost (RESULTS.md, v2 eval_dpm_sde probe) — the better fast default.
 run_job topk_ckpt_final env EVAL_CKPT="$FC" EVAL_SAMPLES=2000 EVAL_STEPS=100 \
-  EVAL_METHOD=dpm_solver EVAL_CANDIDATES=10 EVAL_SUB_GEOMETRY=0 \
+  EVAL_METHOD=dpm_solver_sde EVAL_CANDIDATES=10 EVAL_SUB_GEOMETRY=0 \
   EVAL_SAVE_MOLS=false TRAIN_OVERRIDES="$EV" \
   timeout 5400 python tools/tpu_eval_10k.py
 

@@ -45,6 +45,23 @@ def resolve_ckpt(workdir: str, want: int) -> int:
 
 
 def main():
+    # logging first: resolve_ckpt's checkpoint-substitution warnings must
+    # land in eval_10k.log, or the committed artifact attributes results
+    # to the wrong checkpoint (r2 review)
+    logging.basicConfig(
+        level=logging.INFO,
+        handlers=[
+            logging.StreamHandler(sys.stdout),
+            logging.FileHandler(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "eval_10k.log"
+                ),
+                mode="w",
+            ),
+        ],
+        force=True,
+    )
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -82,17 +99,6 @@ def main():
 
     apply_env_overrides(cfg)
 
-    logging.basicConfig(
-        level=logging.INFO,
-        handlers=[
-            logging.StreamHandler(sys.stdout),
-            logging.FileHandler(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "eval_10k.log"),
-                mode="w",
-            ),
-        ],
-        force=True,
-    )
     import time
 
     t0 = time.time()
