@@ -343,6 +343,87 @@ def _exact_match(true_mol, pred_mol, _cache=None):
     return ti is not None and ti == pi
 
 
+def canonical_id(mol, _cache=None):
+    """Canonical structure identity string for consensus grouping: the same
+    keys `_exact_match` compares — InChIKey under RDKit (lifting MolGraphs,
+    demoting unsanitizable RDKit mols to WL hashes), WL hash otherwise.
+    Returns None when no identity can be computed. ``_cache`` shares the
+    per-mol memo with `_exact_match` (same ("wl"/"lift"/"inchi", id(mol))
+    keys), so consensus grouping adds no re-sanitization cost to a Top-K
+    sweep that already scored the molecule."""
+    if mol is None:
+        return None
+    cache = _cache if _cache is not None else {}
+
+    def memo(kind, m, fn):
+        key = (kind, id(m))
+        if key not in cache:
+            try:
+                cache[key] = fn(m)
+            except Exception:
+                cache[key] = None
+        return cache[key]
+
+    def wl(m):
+        return m.wl_hash()
+
+    if not HAS_RDKIT:
+        h = memo("wl", mol, wl)
+        return None if h is None else "wl:" + h
+    from rdkit import Chem
+
+    from .cal_geometry import _to_molgraph
+    from .molgraph import to_rdkit
+
+    def lift(mg):
+        m = to_rdkit(mg)
+        Chem.SanitizeMol(m)
+        return m
+
+    def inchi(m):
+        Chem.SanitizeMol(m)
+        return Chem.MolToInchiKey(m)
+
+    if isinstance(mol, MolGraph):
+        lifted = memo("lift", mol, lift)
+        if lifted is not None:
+            key = memo("inchi", lifted, inchi)
+            if key is not None:
+                return "ik:" + key
+        h = memo("wl", mol, wl)
+        return None if h is None else "wl:" + h
+    key = memo("inchi", mol, inchi)
+    if key is not None:
+        return "ik:" + key
+    demoted = memo("demote", mol, _to_molgraph)
+    if demoted is None:
+        return None
+    h = memo("wl", demoted, wl)
+    return None if h is None else "wl:" + h
+
+
+def consensus_rank(candidates, _cache=None):
+    """Rank candidate molecules by sampling frequency (majority vote over
+    repeated conditional draws — test-time compute the reference's
+    single-draw Top-1 protocol leaves on the table). Returns
+    ``[(canonical_id, count, first_index), ...]`` sorted by descending
+    count, ties broken by first appearance; candidates with no computable
+    identity are skipped."""
+    counts: dict = {}
+    for i, m in enumerate(candidates):
+        cid = canonical_id(m, _cache=_cache)
+        if cid is None:
+            continue
+        if cid in counts:
+            counts[cid][0] += 1
+        else:
+            counts[cid] = [1, i]
+    return sorted(
+        ((cid, c, first) for cid, (c, first) in counts.items()),
+        key=lambda t: (-t[1], t[2]),
+    )
+
+
 def top_k_exact_match(true_mols, pred_lists):
     """Top-K structure-recovery accuracy: fraction of targets where ANY of
     the K candidates exact-matches (the reference's 40.76%/99.49% Top-1 /

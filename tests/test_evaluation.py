@@ -373,3 +373,36 @@ def test_exact_match_mixed_molgraph_rdkit_pair(monkeypatch):
     assert CM._exact_match(target, _FakeMol("CCN")) is False
     # symmetric case: MolGraph prediction against an RDKit target
     assert CM._exact_match(_FakeMol("CCO"), target) is True
+
+
+def test_canonical_id_and_consensus_rank():
+    """Consensus ranking: canonical ids group identical structures, the
+    mode wins, ties break toward the earliest draw."""
+    from diffspectra_tpu.evaluation.compute_metrics import (
+        canonical_id,
+        consensus_rank,
+    )
+
+    pos, at, edges = methane()
+    g = MolGraph(["C", "H", "H", "H", "H"], np.zeros(5, np.int64), edges, pos)
+    g_dup = MolGraph(["C", "H", "H", "H", "H"], np.zeros(5, np.int64), edges, pos + 1.0)
+    w_edges = np.zeros((3, 3), dtype=np.int64)
+    w_edges[0, 1] = w_edges[1, 0] = 1
+    w_edges[0, 2] = w_edges[2, 0] = 1
+    water = MolGraph(["O", "H", "H"], np.zeros(3, np.int64), w_edges,
+                     np.random.default_rng(0).normal(size=(3, 3)))
+
+    cache = {}
+    assert canonical_id(g, _cache=cache) == canonical_id(g_dup, _cache=cache)
+    assert canonical_id(g, _cache=cache) != canonical_id(water, _cache=cache)
+    assert canonical_id(None) is None
+
+    # methane drawn twice, water once -> methane is the consensus pick
+    ranked = consensus_rank([water, g, None, g_dup], _cache=cache)
+    assert ranked[0][0] == canonical_id(g, _cache=cache)
+    assert ranked[0][1] == 2
+    assert ranked[1] == (canonical_id(water, _cache=cache), 1, 0)
+
+    # pure tie: earliest draw wins
+    ranked = consensus_rank([water, g], _cache=cache)
+    assert ranked[0][0] == canonical_id(water, _cache=cache)
