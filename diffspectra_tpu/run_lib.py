@@ -600,11 +600,22 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
         state = ckpt_lib.restore_checkpoint(ckpt_path, state)
 
         if config.eval.enable_sampling:
+            # per-phase wall timers: the eval's non-sampling time is host
+            # metric work — make its breakdown visible so speedups target
+            # the real hotspot instead of the device sweep
+            _phase_t = [time.monotonic()]
+
+            def _tick(name):
+                now = time.monotonic()
+                logging.info("phase-time || %s: %.1fs", name, now - _phase_t[0])
+                _phase_t[0] = now
+
             logging.info("Sampling -- ckpt: %d", ckpt)
             rng, k_samp = jax.random.split(rng)
             host_ema_vars = _ema_variables(jax.device_get(state))
             processed_mols, gt_pos, gt_mols = sampling_fn(host_ema_vars, k_samp)
             logging.info("Sampling accomplished")
+            _tick("sampling+decode")
 
             if not config.only_2D:
                 stability_res, rdkit_res, sample_mols = edm_metric(processed_mols)
@@ -619,6 +630,7 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
                     "Metric-3D || FCD: %.4f (FCD_proxy: %.4f)",
                     mose_res["FCD"], mose_res["FCD_proxy"],
                 )
+                _tick("metrics-3d")
             else:
                 sample_mols = []
 
@@ -644,6 +656,7 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
                 mose_res["Filters"], mose_res["QED"], mose_res["SA"],
                 mose_res["logP"], mose_res["weight"],
             )
+            _tick("metrics-2d")
 
             if config.eval.sub_geometry:
                 sub_geo_res = sub_geo_metric(complete_mols)
@@ -653,6 +666,7 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
                     sub_geo_res["bond_length_mean"], sub_geo_res["bond_angle_mean"],
                     sub_geo_res["dihedral_angle_mean"],
                 )
+                _tick("geometry")
 
             gt_graphs = [from_decoded(m, atom_decoder) for m in gt_mols]
 
@@ -752,6 +766,7 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
                     "Consensus Top-1 (mode of %d draws) || 2D: %.4f",
                     num_candidates, sum(cons_hit_2d) / n_valid,
                 )
+                _tick(f"topk-extra-sweeps(x{num_candidates - 1})")
 
             # Seen/unseen-target generalization split: a pure memorizer
             # scores 0 on targets whose exact graph never occurs in the
@@ -800,6 +815,7 @@ def diffspectra_evaluate(config, config_original_qm9, workdir, eval_folder="eval
             cm.compute_similarity_metrics(
                 complete_mols, gt_graphs, eval_dir, ckpt, "2D"
             )
+            _tick("similarity")
 
             if config.eval.save_mols.lower() == "true":
                 import pickle
