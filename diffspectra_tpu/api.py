@@ -391,3 +391,118 @@ class Elucidator:
         return ElucidationResult(
             candidates=candidates, num_draws=num_candidates, n_atoms=n_atoms
         )
+
+    def elucidate_batch(
+        self,
+        spectra_list: Sequence[SpectraInput],
+        n_atoms_list: Optional[Sequence[Optional[int]]] = None,
+        num_candidates: int = 10,
+        seed: int = 0,
+        normalized: bool = False,
+        queries_per_round: int = 8,
+    ) -> List[ElucidationResult]:
+        """Serve many queries: packs ``queries_per_round`` queries x K draws
+        into each device round (a 10-candidate query alone underfills the
+        MXU at N<=29; batching restores arithmetic intensity). Rounds are
+        chunked to a fixed size, so compiled shapes stay bounded at one
+        executable per (queries_per_round * K, bucket) pair. Results come
+        back in input order."""
+        if num_candidates < 1:
+            raise ValueError("num_candidates must be >= 1")
+        q = len(spectra_list)
+        if n_atoms_list is None:
+            n_atoms_list = [None] * q
+        if len(n_atoms_list) != q:
+            raise ValueError("n_atoms_list length must match spectra_list")
+        host_rng = np.random.default_rng(seed)
+        max_n = int(self.config.data.max_node)
+        buckets = tuple(
+            sorted(self.config.eval.get("bucket_sizes", ()))
+        ) or (max_n,)
+
+        n_atoms = []
+        contexts = []
+        pads = []
+        for spec, na in zip(spectra_list, n_atoms_list):
+            na = self._sample_n_atoms(host_rng) if na is None else int(na)
+            if not 1 <= na <= max_n:
+                raise ValueError(f"n_atoms must be in [1, {max_n}], got {na}")
+            n_atoms.append(na)
+            contexts.append(self._prepare_context(spec, normalized))
+            pads.append(next((b for b in buckets if b >= na), max_n))
+
+        if not self._vars_on_device:
+            self.variables = jax.device_put(self.variables)
+            self._vars_on_device = True
+
+        results: List[Optional[ElucidationResult]] = [None] * q
+        decoder = self.dataset_info["atom_decoder"]
+        rng = jax.random.PRNGKey(seed)
+        by_pad: dict = {}
+        for i, p in enumerate(pads):
+            by_pad.setdefault(p, []).append(i)
+        for n_pad, idxs in sorted(by_pad.items()):
+            for start in range(0, len(idxs), queries_per_round):
+                chunk = idxs[start : start + queries_per_round]
+                # pad the round to a fixed query count (repeat the last
+                # query; surplus rows are discarded after decode)
+                full = chunk + [chunk[-1]] * (queries_per_round - len(chunk))
+                ctx0 = contexts[full[0]]
+                if isinstance(ctx0, tuple):
+                    ctx = tuple(
+                        np.repeat(
+                            np.stack([contexts[i][s] for i in full]),
+                            num_candidates, axis=0,
+                        )
+                        for s in range(len(ctx0))
+                    )
+                else:
+                    ctx = np.repeat(
+                        np.stack([contexts[i] for i in full]),
+                        num_candidates, axis=0,
+                    )
+                n_vec = np.repeat(
+                    np.array([n_atoms[i] for i in full], np.int32),
+                    num_candidates,
+                )
+                rng, k = jax.random.split(rng)
+                out = self._round_fn(
+                    queries_per_round * num_candidates, int(n_pad)
+                )(self.variables, k, ctx, jnp.asarray(n_vec))
+                if self.config.pred_edge:
+                    pos, one_hot, fc, edge_types = out
+                    mols = mol_process(
+                        one_hot, pos, fc, n_vec.astype(np.int64), edge_types
+                    )
+                else:
+                    pos, one_hot, fc = out
+                    mols = mol_process(one_hot, pos, fc, n_vec.astype(np.int64))
+                for slot, qi in enumerate(chunk):
+                    sl = slice(
+                        slot * num_candidates, (slot + 1) * num_candidates
+                    )
+                    q_mols = mols[sl]
+                    graphs = [from_decoded(m, decoder) for m in q_mols]
+                    cache: dict = {}
+                    candidates = [
+                        Candidate(
+                            molgraph=graphs[first],
+                            count=count,
+                            frequency=count / num_candidates,
+                            first_draw=first,
+                            smiles=_canonical_smiles(graphs[first]),
+                            positions=(
+                                None if self.config.only_2D
+                                else np.asarray(q_mols[first][0])
+                            ),
+                        )
+                        for cid, count, first in cm.consensus_rank(
+                            graphs, _cache=cache
+                        )
+                    ]
+                    results[qi] = ElucidationResult(
+                        candidates=candidates,
+                        num_draws=num_candidates,
+                        n_atoms=n_atoms[qi],
+                    )
+        return results  # type: ignore[return-value]

@@ -81,3 +81,35 @@ def test_elucidate_from_workdir_and_histogram_sizes(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         Elucidator.from_workdir(str(tmp_path / "nope"), config=cfg)
+
+
+def test_elucidate_batch_order_and_chunking(elucidator):
+    """Batched serving: results return in input order, per-query counts sum
+    to K, chunk padding discards surplus rows, and mixed atom counts that
+    land in different pad buckets still work."""
+    rng = np.random.default_rng(3)
+    specs = [np.abs(rng.normal(size=3501)) for _ in range(3)]
+    res = elucidator.elucidate_batch(
+        specs, n_atoms_list=[4, 6, 5], num_candidates=2,
+        seed=5, queries_per_round=2,
+    )
+    assert len(res) == 3
+    for r, want_n in zip(res, (4, 6, 5)):
+        assert r.n_atoms == want_n
+        assert sum(c.count for c in r.candidates) == 2
+        for c in r.candidates:
+            assert c.molgraph.n_atoms == want_n
+
+    # batch path matches the single-query path under the same derived key?
+    # (keys differ by construction; just require determinism of the batch)
+    res2 = elucidator.elucidate_batch(
+        specs, n_atoms_list=[4, 6, 5], num_candidates=2,
+        seed=5, queries_per_round=2,
+    )
+    for a, b in zip(res, res2):
+        assert [c.molgraph.wl_hash() for c in a.candidates] == [
+            c.molgraph.wl_hash() for c in b.candidates
+        ]
+
+    with pytest.raises(ValueError, match="length"):
+        elucidator.elucidate_batch(specs, n_atoms_list=[4], num_candidates=1)
