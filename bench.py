@@ -33,6 +33,10 @@ REF_A100_EST_MOLS_PER_SEC = 0.35
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
 N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1280))
 PROTOCOL_STEPS = int(os.environ.get("BENCH_STEPS", 1000))
+# bisect knobs: override the eval bucket list ("" = static max-N padding),
+# skip the MFU chain timing (pure sweep probes)
+BUCKETS = os.environ.get("BENCH_BUCKETS", None)
+SKIP_MFU = os.environ.get("BENCH_SKIP_MFU", "") == "1"
 
 
 def main():
@@ -61,9 +65,21 @@ def main():
     cfg.eval.batch_size = BATCH
     cfg.eval.num_samples = N_SAMPLES
     cfg.sampling.steps = PROTOCOL_STEPS
+    if BUCKETS is not None:
+        cfg.eval.bucket_sizes = (
+            tuple(int(b) for b in BUCKETS.split(",") if b) if BUCKETS else ()
+        )
     cfg = run_lib.resolve_runtime_config(cfg, 1)
 
+    def _phase(msg, _t0=[time.perf_counter()]):
+        now = time.perf_counter()
+        sys.stderr.write(f"[bench +{now - _t0[0]:.1f}s] {msg}\n")
+        sys.stderr.flush()
+        _t0[0] = now
+
+    _phase("start")
     _, _, _, test_ds, _ = get_dataset(cfg)
+    _phase("dataset ready")
     init_iter = get_batch_iterator(test_ds, BATCH, "ir", shuffle=False, drop_last=False)
     rng = jax.random.PRNGKey(0)
     model, tx, state = run_lib._init_model_and_state(cfg, next(init_iter), rng)
@@ -73,10 +89,12 @@ def main():
         get_data_inverse_scaler(cfg), test_ds, fixed_seed=42,
     )
     variables = run_lib._ema_variables(jax.device_get(state))
+    _phase("model/state init done")
 
     # warm sweep (compiles one scan per bucket; persistent-cached)
     mols, _, _ = sampling_fn(variables, jax.random.PRNGKey(1))
     assert len(mols) == N_SAMPLES
+    _phase("warm sweep done")
     # timed hot sweeps: best of BENCH_SWEEPS (default 3). The TPU relay in
     # this environment has multi-second transient stalls (RESULTS.md timing
     # methodology note); interference only ever subtracts throughput, so the
@@ -88,6 +106,7 @@ def main():
         mols, _, _ = sampling_fn(variables, jax.random.PRNGKey(2 + i))
         dt = min(dt, time.perf_counter() - t0)
         assert len(mols) == N_SAMPLES
+        _phase(f"hot sweep {i}: {time.perf_counter() - t0:.2f}s")
 
     mols_per_sec = N_SAMPLES / dt * (PROTOCOL_STEPS / 1000.0)
 
@@ -98,6 +117,18 @@ def main():
     # methodology note). Peak: v5e bf16 = 197 TFLOP/s (BENCH_PEAK_TFLOPS to
     # override on other chips).
     mfu = model_tflops = float("nan")
+    if SKIP_MFU:
+        print(
+            json.dumps(
+                {
+                    "metric": "sampled_mols_per_sec_1000step",
+                    "value": round(mols_per_sec, 4),
+                    "unit": "mols/sec/chip",
+                    "vs_baseline": round(mols_per_sec / REF_A100_EST_MOLS_PER_SEC, 2),
+                }
+            )
+        )
+        return
     try:
         import jax.numpy as jnp
         import numpy as np

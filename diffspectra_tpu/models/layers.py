@@ -220,15 +220,16 @@ class DenseTransMixLayer(nn.Module):
             )
             return out  # [B, N, H*C] f32
 
-        # One matmul into the concatenated [De, E*sub_c + H*C] kernel instead
-        # of two: edge_attr is [B,N,N,De] (~55MB at batch 128) and the layer
-        # is HBM-bandwidth-bound, so reading it once for both gate
-        # projections matters; per-column math is identical to the split
-        # matmuls (params stay separate for Pallas-path/checkpoint compat).
-        w01 = jnp.concatenate([w0, w1], axis=1).astype(self.dtype)
-        e01 = edge_attr.astype(self.dtype) @ w01
-        e0 = jnp.tanh(e01[..., : E * sub_c].reshape(B, N, N, E, sub_c))
-        e1 = jnp.tanh(e01[..., E * sub_c :].reshape(B, N, N, H, C))
+        # Two separate gate matmuls, NOT one concatenated [De, E*sub_c+H*C]
+        # kernel: the merged variant (round-2 commit 71d24b0) forced the
+        # [B,N,N,508] e01 product to materialise in HBM before the slices,
+        # while the split products each fuse their tanh into the consumer
+        # einsum — measured 64s -> 76s per 1280-mol eval sweep on v5e
+        # (bisect record: RESULTS.md round-3 throughput note).
+        e0 = (edge_attr.astype(self.dtype) @ w0.astype(self.dtype))
+        e0 = jnp.tanh(e0.reshape(B, N, N, E, sub_c))
+        e1 = (edge_attr.astype(self.dtype) @ w1.astype(self.dtype))
+        e1 = jnp.tanh(e1.reshape(B, N, N, H, C))
 
         # learned logits, scaled by sqrt(out_channels) as the reference does
         # (ref :167 — NOT sqrt(sub_channels))
@@ -287,13 +288,17 @@ def edge_skip_head_first(edge_attr, cat_e, n_layers, cat_dim, width):
     in_e = width + n_layers * cat_dim
     k_ex, b_ex = DenseParams(in_e, width, name="edge_exist_mlp_0")()
     k_ty, b_ty = DenseParams(in_e, width, name="edge_type_mlp_0")()
-    k01 = jnp.concatenate([k_ex, k_ty], axis=1)  # [in_e, 2*width]
-    return (
-        edge_attr @ k01[:width]
-        + jnp.einsum(
-            "lbijd,ldo->bijo", cat_e, k01[width:].reshape(n_layers, cat_dim, 2 * width)
-        )
-        + jnp.concatenate([b_ex, b_ty], axis=-1)
+    # Plain concat + two separate head matmuls. The round-2 "HBM reduction"
+    # (commit 12ea575: merged k01 kernel + einsum contraction straight from
+    # the stacked [L,B,N,N,d] scan layout) benched SLOWER on v5e — the
+    # merged [B,N,N,2*width] product materialises and the l-major einsum
+    # defeats XLA's dot fusion — part of the 64s -> 77s eval-sweep
+    # regression (bisect record: RESULTS.md round-3 throughput note).
+    L, B, N, _, d = cat_e.shape
+    cat_flat = jnp.moveaxis(cat_e, 0, 3).reshape(B, N, N, L * d)
+    hids = jnp.concatenate([edge_attr, cat_flat], axis=-1)
+    return jnp.concatenate(
+        [hids @ k_ex + b_ex, hids @ k_ty + b_ty], axis=-1
     )
 
 
