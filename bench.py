@@ -65,6 +65,8 @@ def main():
     cfg.eval.batch_size = BATCH
     cfg.eval.num_samples = N_SAMPLES
     cfg.sampling.steps = PROTOCOL_STEPS
+    if os.environ.get("BENCH_PALLAS", "") == "1":
+        cfg.model.use_pallas = True
     if BUCKETS is not None:
         cfg.eval.bucket_sizes = (
             tuple(int(b) for b in BUCKETS.split(",") if b) if BUCKETS else ()

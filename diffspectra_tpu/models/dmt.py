@@ -161,6 +161,11 @@ class EquivariantMixBlock(nn.Module):
     gbf_name: str = "CondGaussianLayer"
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # which ops dispatch to their fused Pallas kernel when use_pallas is on.
+    # Hardware status (2026-08-20 v5e chain timing, RESULTS.md): 'equi' is
+    # 2.4x faster than the XLA chain; 'attn' compiles+matches but is ~1.4x
+    # slower than XLA, so the measured default enables only 'equi'.
+    pallas_ops: tuple = ("equi",)
 
     @nn.compact
     def __call__(
@@ -237,7 +242,7 @@ class EquivariantMixBlock(nn.Module):
             dropout=self.dropout,
             set_inf=self.softmax_inf,
             dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas and "attn" in self.pallas_ops,
             name="attn_mpnn",
         )(h, edge_attr, extra_heads, edge_mask, deterministic=deterministic)
 
@@ -293,7 +298,7 @@ class EquivariantMixBlock(nn.Module):
             self.time_dim,
             self.num_extra_heads,
             dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas and "equi" in self.pallas_ops,
             name="equi_update",
         )(h_out, pos, h_edge_out, distance, edge_time_emb, extra_heads, edge_mask)
 
@@ -317,6 +322,7 @@ class _BlockWithCollect(nn.Module):
     gbf_name: str
     dtype: jnp.dtype
     use_pallas: bool
+    pallas_ops: tuple
     CoM: bool
     cat_node_dim: int
     cat_edge_dim: int
@@ -340,6 +346,7 @@ class _BlockWithCollect(nn.Module):
             gbf_name=self.gbf_name,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pallas_ops=self.pallas_ops,
             name="e_block",
         )(
             pos, h, edge_attr, node_mask, edge_mask, extra_adj,
@@ -396,6 +403,10 @@ class DMT(nn.Module):
     stride: tuple = (10, 25, 25)
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # which fused kernels use_pallas enables; 'equi' measured 2.4x the XLA
+    # chain on v5e, 'attn' compiles+matches but measured slower than XLA
+    # (RESULTS.md round-3 Pallas table) — so only 'equi' by default
+    pallas_ops: tuple = ("equi",)
     # lax.scan unroll factor for the block loop; 1 = rolled (fast compile,
     # training default), n_layers = fully unrolled (fast inference — no
     # per-iteration weight slicing/layout copies). Checkpoint-compatible.
@@ -421,13 +432,16 @@ class DMT(nn.Module):
             if config.training.get("matmul_precision", "") == "bfloat16"
             else _jnp.float32
         )
-        # experimental: the fused kernel currently fails Mosaic lowering on
-        # its multi-batch-dim contractions, and the XLA path runs this op in
-        # ~30us at batch 128 (not a bottleneck) — opt-in only
+        # Pallas dispatch: hardware-validated 2026-08-20 (both kernels now
+        # compile through the remote Mosaic helper after the reshape-rule
+        # rewrites — see ops/pallas_attention.py docstring). The kernels
+        # have no custom VJP, so this stays off for training; the inference
+        # model (run_lib._inference_model) flips it on for sampling.
         use_pallas = bool(config.model.get("use_pallas", False))
         return DMT(
             dtype=dtype,
             use_pallas=bool(use_pallas),
+            pallas_ops=tuple(config.model.get("pallas_ops", ("equi",))),
             scan_unroll=int(config.model.get("scan_unroll", 1)),
             remat_policy=str(config.model.get("remat_policy", "full")),
             specformer_bf16=bool(config.model.get("specformer_bf16", False)),
@@ -602,6 +616,7 @@ class DMT(nn.Module):
             gbf_name=self.gbf_name,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pallas_ops=self.pallas_ops,
             CoM=self.CoM,
             cat_node_dim=cat_node_dim,
             cat_edge_dim=cat_edge_dim,

@@ -46,35 +46,54 @@ NEG_ADJ = -1e10  # reference's zero-adjacency logit (ref layers.py:173)
 
 
 def _kernel(q_ref, k_ref, v_ref, edge_ref, w0_ref, w1_ref, extra_ref,
-            mask_ref, out_ref, *, n_heads, n_extra, out_ch, sub_c, set_inf):
-    """One batch tile: q [Bb,N,E,sc], k [Bb,N,E,sc], v [Bb,N,H,C],
+            mask_ref, seg0_ref, seg1_ref, out_ref,
+            *, n_heads, n_extra, out_ch, sub_c, set_inf):
+    """One batch tile: q [Bb,N,E*sc], k [Bb,N,E*sc], v [Bb,N,H*C],
     edge [Bb,N,N,De], w0 [De,E*sc], w1 [De,H*C], extra [Bb,N,N,n_extra],
-    mask [Bb,N,N] -> out [Bb,N,H*C]."""
+    mask [Bb,N,N], seg0 [E*sc,E] 0/1 head-segment reducer,
+    seg1 [H,H*C] 0/1 head-segment expander -> out [Bb,N,H*C].
+
+    Mosaic-helper constraints (bisect 2026-08-20, tools/diag_mosaic_bisect):
+    reshapes that SPLIT the trailing (lane) dim ([.,252] -> [.,14,18]),
+    ``jnp.repeat`` on the lane dim, and ANY reshape of a bf16 ref whose
+    collapsed sublane extent isn't a multiple of the bf16 tile (16) crash
+    the remote compiler (HTTP 500); leading-dim reshapes of f32 values and
+    plain 2-D dots compile. Hence: (a) ``edge`` arrives pre-flattened 2-D
+    ([B*N*N, De], flattened outside the kernel) so the bf16 MXU dot needs
+    no in-kernel reshape, (b) only f32 dot OUTPUTS are reshaped, (c) the
+    per-head reduction/expansion of the folded (h, c) axis is done with
+    tiny 0/1 segment MATMULS instead of reshape+sum / repeat — exact same
+    math.
+    """
     bb, n = q_ref.shape[0], q_ref.shape[1]
     n_sub = n_heads - n_extra
     de = edge_ref.shape[-1]
 
-    edge = edge_ref[:].reshape(bb * n * n, de)
-    # fused projections + tanh, accumulate in f32 on the MXU (plain 2-D dots
-    # — Mosaic rejects multi-batch-dim contractions, so the gated attention
-    # below is broadcast-multiply + reduce on the VPU instead of einsums)
+    # cast BEFORE the collapse: a bf16 reshape whose collapsed sublane
+    # extent (bb*N*N, odd multiples of 29) isn't a multiple of the bf16
+    # tile is rejected; the f32 path compiles. The projections then run as
+    # f32 dots — fine, the kernel is HBM/VPU-bound, not MXU-bound.
+    edge = edge_ref[:].astype(jnp.float32).reshape(bb * n * n, de)
     e0 = jnp.tanh(
-        jnp.dot(edge, w0_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(edge, w0_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
     ).reshape(bb, n, n, n_sub * sub_c)
     e1 = jnp.tanh(
-        jnp.dot(edge, w1_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(edge, w1_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
     ).reshape(bb, n, n, n_heads * out_ch)
 
-    q = q_ref[:].astype(jnp.float32).reshape(bb, n, n_sub * sub_c)
-    k = k_ref[:].astype(jnp.float32).reshape(bb, n, n_sub * sub_c)
-    v = v_ref[:].astype(jnp.float32).reshape(bb, n, n_heads * out_ch)
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
 
-    # learned logits: sum_c q_i k_j e0_ij; fold (h, c) into one axis and
-    # reduce per head chunk — all 4-D elementwise + reductions
+    # learned logits: sum_c q_i k_j e0_ij over each head's sub_c chunk of
+    # the folded (h, c) axis — segment-sum as a [E*sc, E] 0/1 matmul
     qk = q[:, :, None, :] * k[:, None, :, :]  # [bb, n, n, E*sc]
-    gated = qk * e0
-    gated = gated.reshape(bb, n, n, n_sub, sub_c)
-    logits = jnp.sum(gated, axis=-1) / math.sqrt(out_ch)  # [bb, n, n, E]
+    gated = (qk * e0).reshape(bb * n * n, n_sub * sub_c)
+    logits = jnp.dot(
+        gated, seg0_ref[:], preferred_element_type=jnp.float32
+    ).reshape(bb, n, n, n_sub) / math.sqrt(out_ch)
 
     extra = extra_ref[:].astype(jnp.float32)
     if set_inf:
@@ -85,9 +104,12 @@ def _kernel(q_ref, k_ref, v_ref, edge_ref, w0_ref, w1_ref, extra_ref,
     alpha = jnp.where(mask[..., None] > 0, alpha, MASK_INF)
     alpha = jax.nn.softmax(alpha, axis=2)
 
-    # out_i = sum_j alpha_ij * v_j * e1_ij ; expand alpha per-head over the
-    # folded (h, c) axis with repeat, reduce over j
-    alpha_hc = jnp.repeat(alpha, out_ch, axis=-1)  # [bb, n, n, H*C]
+    # out_i = sum_j alpha_ij * v_j * e1_ij ; broadcast alpha [H] over the
+    # folded (h, c) axis with a [H, H*C] 0/1 matmul (repeat is rejected)
+    alpha_hc = jnp.dot(
+        alpha.reshape(bb * n * n, n_heads), seg1_ref[:],
+        preferred_element_type=jnp.float32,
+    ).reshape(bb, n, n, n_heads * out_ch)
     msg = alpha_hc * v[:, None, :, :] * e1
     out = jnp.sum(msg, axis=2)  # [bb, n, H*C]
     out_ref[:] = out.astype(out_ref.dtype)
@@ -143,6 +165,23 @@ def mix_attention(q, k, v, edge_attr, w0, w1, extra, edge_mask, *,
         bb -= 1
     grid = (B // bb,)
 
+    # fold the (head, channel) axes and flatten edge_attr to 2-D OUTSIDE
+    # the kernel (in-kernel bf16 reshapes with 29-row sublanes are rejected
+    # by the Mosaic helper; see _kernel docstring)
+    q2 = q.reshape(B, N, n_sub * sub_c)
+    k2 = k.reshape(B, N, n_sub * sub_c)
+    v2 = v.reshape(B, N, n_heads * out_ch)
+    # 0/1 segment matrices: seg0 reduces the folded (h, c) axis per head,
+    # seg1 broadcasts per-head weights back over it
+    seg0 = (
+        jnp.arange(n_sub * sub_c)[:, None] // sub_c
+        == jnp.arange(n_sub)[None, :]
+    ).astype(jnp.float32)
+    seg1 = (
+        jnp.arange(n_heads)[:, None]
+        == jnp.arange(n_heads * out_ch)[None, :] // out_ch
+    ).astype(jnp.float32)
+
     kernel = functools.partial(
         _kernel, n_heads=n_heads, n_extra=n_extra, out_ch=out_ch,
         sub_c=sub_c, set_inf=set_inf,
@@ -152,15 +191,17 @@ def mix_attention(q, k, v, edge_attr, w0, w1, extra, edge_mask, *,
         out_shape=jax.ShapeDtypeStruct((B, N, n_heads * out_ch), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb, N, n_sub, sub_c), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, N, n_sub, sub_c), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, N, n_heads, out_ch), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, N, n_sub * sub_c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, N, n_sub * sub_c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, N, n_heads * out_ch), lambda i: (i, 0, 0)),
             pl.BlockSpec((bb, N, N, de), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((de, n_sub * sub_c), lambda i: (0, 0)),
             pl.BlockSpec((de, n_heads * out_ch), lambda i: (0, 0)),
             pl.BlockSpec((bb, N, N, n_extra), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((bb, N, N), lambda i: (i, 0, 0)),
+            pl.BlockSpec((n_sub * sub_c, n_sub), lambda i: (0, 0)),
+            pl.BlockSpec((n_heads, n_heads * out_ch), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bb, N, n_heads * out_ch), lambda i: (i, 0, 0)),
         interpret=interpret,
-    )(q, k, v, edge_attr, w0, w1, extra, edge_mask)
+    )(q2, k2, v2, edge_attr, w0, w1, extra, edge_mask, seg0, seg1)

@@ -79,13 +79,19 @@ def _kernel(node_i_ref, node_j_ref, edge_ref, dist_ref, normed_ref,
     de, dd = edge_ref.shape[-1], dist_ref.shape[-1]
     dh = we_ref.shape[-1]
 
-    # gate projections: 2-D MXU dots with f32 accumulation
+    # gate projections: 2-D dots with f32 accumulation. Cast BEFORE the
+    # collapse reshape: Mosaic's remote compiler rejects reshapes of bf16
+    # values whose collapsed sublane extent (odd multiples of N=29) isn't a
+    # multiple of the bf16 tile — the f32 path compiles (bisect 2026-08-20,
+    # tools/diag_mosaic_bisect.py).
     e_proj = jnp.dot(
-        edge_ref[:].reshape(bb * n * n, de), we_ref[:],
+        edge_ref[:].astype(jnp.float32).reshape(bb * n * n, de),
+        we_ref[:].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ).reshape(bb, n, n, dh)
     d_proj = jnp.dot(
-        dist_ref[:].reshape(bb * n * n, dd), wd_ref[:],
+        dist_ref[:].astype(jnp.float32).reshape(bb * n * n, dd),
+        wd_ref[:].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ).reshape(bb, n, n, dh)
 
