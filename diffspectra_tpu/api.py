@@ -68,7 +68,10 @@ class Candidate:
 class ElucidationResult:
     candidates: List[Candidate]  # consensus-ranked, best first
     num_draws: int
-    n_atoms: int
+    # the atom count the draws were conditioned on; None when the count was
+    # MARGINALIZED over the histogram prior (each candidate then carries its
+    # own size via candidate.molgraph)
+    n_atoms: Optional[int]
 
     @property
     def best(self) -> Optional[Candidate]:
@@ -317,6 +320,24 @@ class Elucidator:
         self._round_cache[key] = fn
         return fn
 
+    def _plausible_n(self, coverage: float = 0.95, cap: int = 16):
+        """Smallest prior-probability-sorted set of atom counts covering
+        ``coverage`` of the train histogram (at most ``cap`` values)."""
+        hist = self.dataset_info["train_n_nodes"]
+        max_n = int(self.config.data.max_node)
+        items = sorted(
+            ((k, v) for k, v in hist.items() if 1 <= k <= max_n),
+            key=lambda kv: -kv[1],
+        )
+        total = sum(v for _, v in items) or 1
+        out, acc = [], 0.0
+        for k, v in items:
+            out.append(int(k))
+            acc += v / total
+            if acc >= coverage or len(out) >= cap:
+                break
+        return sorted(out)
+
     def elucidate(
         self,
         spectra: SpectraInput,
@@ -324,19 +345,30 @@ class Elucidator:
         num_candidates: int = 10,
         seed: int = 0,
         normalized: bool = False,
+        draws_per_n: Optional[int] = None,
     ) -> ElucidationResult:
         """Elucidate one molecule's structure from its spectra.
 
         ``spectra``: raw spectrum array (or dict/tuple for allspectra);
-        ``n_atoms``: atom count incl. H (drawn from the QM9 train histogram
-        when None); ``num_candidates``: independent conditional draws, all
-        in one batched reverse diffusion. Returns consensus-ranked distinct
-        structures."""
+        ``num_candidates``: independent conditional draws, all in one
+        batched reverse diffusion.
+
+        ``n_atoms``: atom count incl. H. When ``None`` the count is
+        MARGINALIZED (VERDICT r2 next-9: a real user doesn't know n): the
+        histogram-prior-plausible counts (``_plausible_n``) each get a
+        bucketed batch of ``draws_per_n`` draws (default
+        ``max(2, num_candidates // #counts)``), and consensus ranks ALL
+        draws together — draws at the wrong count scatter over many
+        structures while draws at the right count reproduce one, so
+        frequency identifies both the structure and its size; ties break
+        toward the prior-likelier count. Returns consensus-ranked distinct
+        structures (result.n_atoms is None in this mode)."""
         if num_candidates < 1:
             raise ValueError("num_candidates must be >= 1")
-        host_rng = np.random.default_rng(seed)
         if n_atoms is None:
-            n_atoms = self._sample_n_atoms(host_rng)
+            return self._elucidate_marginal(
+                spectra, num_candidates, seed, normalized, draws_per_n
+            )
         max_n = int(self.config.data.max_node)
         if not 1 <= n_atoms <= max_n:
             raise ValueError(f"n_atoms must be in [1, {max_n}], got {n_atoms}")
@@ -368,10 +400,27 @@ class Elucidator:
             pos, one_hot, fc = out
             mols = mol_process(one_hot, pos, fc, n_vec)
 
+        return self._build_result(mols, num_candidates, n_atoms)
+
+    def _build_result(self, mols, num_draws, n_atoms, n_prior=None):
+        """Consensus-rank decoded draws into an ElucidationResult.
+
+        ``n_prior``: optional {n: probability} map; when given (marginal
+        mode) candidates with equal counts rank by the prior probability of
+        their own atom count."""
         decoder = self.dataset_info["atom_decoder"]
         graphs = [from_decoded(m, decoder) for m in mols]
         cache: dict = {}
         ranked = cm.consensus_rank(graphs, _cache=cache)
+        if n_prior is not None:
+            ranked = sorted(
+                ranked,
+                key=lambda r: (
+                    -r[1],
+                    -float(n_prior.get(graphs[r[2]].n_atoms, 0.0)),
+                    r[2],
+                ),
+            )
         candidates = []
         for cid, count, first in ranked:
             mg = graphs[first]
@@ -379,7 +428,7 @@ class Elucidator:
                 Candidate(
                     molgraph=mg,
                     count=count,
-                    frequency=count / num_candidates,
+                    frequency=count / num_draws,
                     first_draw=first,
                     smiles=_canonical_smiles(mg),
                     positions=(
@@ -389,8 +438,48 @@ class Elucidator:
                 )
             )
         return ElucidationResult(
-            candidates=candidates, num_draws=num_candidates, n_atoms=n_atoms
+            candidates=candidates, num_draws=num_draws, n_atoms=n_atoms
         )
+
+    def _elucidate_marginal(self, spectra, num_candidates, seed, normalized,
+                            draws_per_n):
+        """Atom-count-free elucidation: one bucketed batch per plausible n,
+        consensus across all draws (see ``elucidate`` docstring)."""
+        max_n = int(self.config.data.max_node)
+        ns = self._plausible_n()
+        K = draws_per_n or max(2, num_candidates // max(1, len(ns)))
+        context = self._prepare_context(spectra, normalized)
+        if isinstance(context, tuple):
+            ctx = tuple(np.tile(s[None], (K, 1)) for s in context)
+        else:
+            ctx = np.tile(context[None], (K, 1))
+        buckets = tuple(
+            sorted(self.config.eval.get("bucket_sizes", ()))
+        ) or (max_n,)
+        if not self._vars_on_device:
+            self.variables = jax.device_put(self.variables)
+            self._vars_on_device = True
+
+        hist = self.dataset_info["train_n_nodes"]
+        total = sum(hist.values()) or 1
+        prior = {int(k): v / total for k, v in hist.items()}
+
+        rng = jax.random.PRNGKey(seed)
+        all_mols = []
+        for n in ns:
+            n_pad = next((b for b in buckets if b >= n), max_n)
+            rng, k = jax.random.split(rng)
+            out = self._round_fn(K, int(n_pad))(
+                self.variables, k, ctx, jnp.full((K,), n, jnp.int32)
+            )
+            n_vec = np.full((K,), n, np.int64)
+            if self.config.pred_edge:
+                pos, one_hot, fc, edge_types = out
+                all_mols.extend(mol_process(one_hot, pos, fc, n_vec, edge_types))
+            else:
+                pos, one_hot, fc = out
+                all_mols.extend(mol_process(one_hot, pos, fc, n_vec))
+        return self._build_result(all_mols, K * len(ns), None, n_prior=prior)
 
     def elucidate_batch(
         self,
@@ -406,7 +495,11 @@ class Elucidator:
         MXU at N<=29; batching restores arithmetic intensity). Rounds are
         chunked to a fixed size, so compiled shapes stay bounded at one
         executable per (queries_per_round * K, bucket) pair. Results come
-        back in input order."""
+        back in input order.
+
+        A ``None`` entry in ``n_atoms_list`` draws ONE size from the
+        histogram prior (cheap batch semantics); use ``elucidate()`` per
+        query for full atom-count marginalization."""
         if num_candidates < 1:
             raise ValueError("num_candidates must be >= 1")
         q = len(spectra_list)

@@ -113,3 +113,26 @@ def test_elucidate_batch_order_and_chunking(elucidator):
 
     with pytest.raises(ValueError, match="length"):
         elucidator.elucidate_batch(specs, n_atoms_list=[4], num_candidates=1)
+
+
+def test_elucidate_marginal_over_atom_count(elucidator):
+    """n_atoms=None marginalizes over the histogram prior (VERDICT r2
+    next-9): one bucketed batch per plausible count, consensus across all
+    draws, prior tie-break; result.n_atoms is None and candidates carry
+    their own sizes."""
+    spec = np.abs(np.random.default_rng(2).normal(size=3501)) * 5
+    res = elucidator.elucidate(spec, num_candidates=8, seed=3, draws_per_n=2)
+    assert res.n_atoms is None
+    ns = elucidator._plausible_n()
+    assert res.num_draws == 2 * len(ns)
+    assert sum(c.count for c in res.candidates) == res.num_draws
+    sizes = {c.molgraph.n_atoms for c in res.candidates}
+    assert sizes <= set(ns)
+    assert len(sizes) >= 2  # draws at several counts survive ranking
+    counts = [c.count for c in res.candidates]
+    assert counts == sorted(counts, reverse=True)
+    # deterministic under the same seed
+    res2 = elucidator.elucidate(spec, num_candidates=8, seed=3, draws_per_n=2)
+    assert [c.molgraph.wl_hash() for c in res.candidates] == [
+        c.molgraph.wl_hash() for c in res2.candidates
+    ]

@@ -11,6 +11,9 @@ Env knobs:
   K         draws per spectrum (default 10)
   METHOD    sampling method    (default dpm_solver_sde)
   STEPS     reverse steps      (default 50)
+  KNOWN_N   1 = condition on the true atom count (reference protocol);
+            0 (default) = n_atoms UNKNOWN: marginalize over the histogram
+            prior (the real-user serving mode — no crutch)
 
 Runs on whatever backend JAX has (CPU works; slow but exact).
 """
@@ -58,9 +61,15 @@ def main():
             ),
             el.dataset_info["atom_decoder"],
         )
-        res = el.elucidate(data["ir"][m], n_atoms=n, num_candidates=k, seed=m)
+        known_n = os.environ.get("KNOWN_N", "0") == "1"
+        res = el.elucidate(
+            data["ir"][m], n_atoms=n if known_n else None,
+            num_candidates=k, seed=m,
+            draws_per_n=None if known_n else max(2, k // 4),
+        )
         tid = cm.canonical_id(target)
-        print(f"\n=== target {m}: {n} atoms, id {tid}")
+        mode = "known n" if known_n else f"n marginalized ({res.num_draws} draws)"
+        print(f"\n=== target {m}: {n} atoms ({mode}), id {tid}")
         hit_rank = None
         for rank, c in enumerate(res.candidates):
             cid = cm.canonical_id(c.molgraph)
