@@ -118,7 +118,7 @@ def main():
     # the bench batch/N=29 (host materialisation, see RESULTS.md timing
     # methodology note). Peak: v5e bf16 = 197 TFLOP/s (BENCH_PEAK_TFLOPS to
     # override on other chips).
-    mfu = model_tflops = float("nan")
+    mfu = model_tflops = hbm_gbps = hbm_util = float("nan")
     if SKIP_MFU:
         print(
             json.dumps(
@@ -165,6 +165,7 @@ def main():
         if isinstance(ca, list):
             ca = ca[0]
         flops_per_fwd = float(ca["flops"])
+        bytes_per_fwd = float(ca.get("bytes accessed", float("nan")))
 
         # K forwards inside ONE dispatch (lax.scan): the axon tunnel has
         # large per-call latency, so per-call timing measures RTT, not the
@@ -210,6 +211,17 @@ def main():
         per_fwd = max(dt_chain - overhead, 1e-9) / reps
         model_tflops = flops_per_fwd / per_fwd / 1e12
         mfu = model_tflops * 1e12 / peak
+        # HBM roofline: at N=29 the forward is bandwidth-bound, so achieved
+        # GB/s vs the v5e 819 GB/s peak is the honest utilisation bound
+        # (MFU against the bf16 FLOP peak structurally cannot approach 1 for
+        # this op mix — see RESULTS.md round-3 perf note)
+        hbm_peak = float(os.environ.get("BENCH_PEAK_HBM_GBPS", 819.0))
+        hbm_gbps = (
+            bytes_per_fwd / per_fwd / 1e9
+            if bytes_per_fwd == bytes_per_fwd
+            else float("nan")
+        )
+        hbm_util = hbm_gbps / hbm_peak
     except Exception as e:  # cost model unavailable on some backends
         sys.stderr.write(f"MFU accounting skipped: {e}\n")
 
@@ -226,6 +238,10 @@ def main():
                     round(model_tflops, 3) if model_tflops == model_tflops else None
                 ),
                 "mfu_bf16_peak": round(mfu, 5) if mfu == mfu else None,
+                "hbm_gbps": round(hbm_gbps, 1) if hbm_gbps == hbm_gbps else None,
+                "hbm_util_peak": (
+                    round(hbm_util, 4) if hbm_util == hbm_util else None
+                ),
             }
         )
     )

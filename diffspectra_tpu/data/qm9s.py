@@ -122,6 +122,75 @@ def _install_pyg_unpickle_shims():
         sys.modules.setdefault(name, mod)
 
 
+def write_processed_pt(root: str, mols, spectra=None):
+    """Write a processed-layout ``data_qm9_allspectra.pt`` (the exact
+    ``(Data, slices)`` PyG-collate layout of the reference,
+    ref qm9s_dataset.py:167-277): node tensors concatenated across
+    molecules, ``edge_index`` with GLOBAL node offsets, spectra
+    row-per-molecule. Used by the ingest fixture tests AND the
+    at-scale rehearsal (tools/make_rehearsal_pt.py) so the conversion
+    path is exercised against real files without the real download.
+
+    ``mols``: list of dicts with ``atom_type [n]``, ``pos [n,3]``,
+    ``fc [n]``, ``bonds`` [(i, j, order)] in LOCAL indices.
+    ``spectra``: optional dict with uv [M,701] / ir [M,3501] /
+    raman [M,3501] float arrays (random if omitted)."""
+    import torch  # host-only dependency
+
+    _install_pyg_unpickle_shims()
+    import torch_geometric.data.data as pyg_data
+    import torch_geometric.data.storage as pyg_storage
+
+    n_mol = len(mols)
+    atom_type = np.concatenate([m["atom_type"] for m in mols])
+    pos = np.concatenate([m["pos"] for m in mols])
+    fc = np.concatenate([m["fc"] for m in mols])
+    ei_cols, et_vals = [], []
+    offsets = np.cumsum([0] + [len(m["atom_type"]) for m in mols])
+    for k, m in enumerate(mols):
+        for i, j, o in m["bonds"]:
+            ei_cols += [[i + offsets[k], j + offsets[k]],
+                        [j + offsets[k], i + offsets[k]]]
+            et_vals += [o, o]
+    edge_index = (
+        np.asarray(ei_cols, dtype=np.int64).T if ei_cols else np.zeros((2, 0), np.int64)
+    )
+    edge_type = np.asarray(et_vals, dtype=np.int64)
+
+    mapping = {
+        "atom_type": torch.tensor(atom_type),
+        "pos": torch.tensor(pos, dtype=torch.float32),
+        "fc": torch.tensor(fc),
+        "edge_index": torch.tensor(edge_index),
+        "edge_type": torch.tensor(edge_type),
+        "num_atom": torch.tensor([len(m["atom_type"]) for m in mols]),
+    }
+    for key, length in (("uv", 701), ("ir", 3501), ("raman", 3501)):
+        if spectra is not None and key in spectra:
+            mapping[key] = torch.tensor(
+                np.asarray(spectra[key], dtype=np.float32)
+            )
+        else:
+            mapping[key] = torch.rand(n_mol, length)
+    storage = pyg_storage.GlobalStorage.__new__(pyg_storage.GlobalStorage)
+    storage.__dict__["_mapping"] = mapping
+    data = pyg_data.Data.__new__(pyg_data.Data)
+    data.__dict__["_store"] = storage
+
+    edge_counts = [2 * len(m["bonds"]) for m in mols]
+    slices = {
+        "atom_type": torch.tensor(offsets),
+        "edge_index": torch.tensor(np.cumsum([0] + edge_counts)),
+        "num_atom": torch.tensor(np.arange(n_mol + 1)),
+    }
+    os.makedirs(os.path.join(root, "processed"), exist_ok=True)
+    torch.save(
+        (data, slices),
+        os.path.join(root, "processed", "data_qm9_allspectra.pt"),
+    )
+    return mapping
+
+
 def pack_from_pyg(root: str, max_n: int = 29):
     """One-time conversion of the reference's processed PyG .pt into the
     packed dense .npy store (requires torch; runs on host CPU)."""

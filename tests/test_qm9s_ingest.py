@@ -20,54 +20,13 @@ torch = pytest.importorskip("torch")
 
 def _make_fake_processed(root, mols, max_n=6):
     """mols: list of dicts with atom_type [n], pos [n,3], fc [n],
-    bonds [(i, j, order)] (local indices)."""
-    from diffspectra_tpu.data.qm9s import _install_pyg_unpickle_shims
+    bonds [(i, j, order)] (local indices). Thin wrapper over the shared
+    processed-layout writer (data/qm9s.py:write_processed_pt) so the test
+    and the at-scale rehearsal (tools/make_rehearsal_pt.py) exercise one
+    implementation."""
+    from diffspectra_tpu.data.qm9s import write_processed_pt
 
-    _install_pyg_unpickle_shims()
-    import torch_geometric.data.data as pyg_data
-    import torch_geometric.data.storage as pyg_storage
-
-    n_mol = len(mols)
-    atom_type = np.concatenate([m["atom_type"] for m in mols])
-    pos = np.concatenate([m["pos"] for m in mols])
-    fc = np.concatenate([m["fc"] for m in mols])
-    ei_cols, et_vals = [], []
-    offsets = np.cumsum([0] + [len(m["atom_type"]) for m in mols])
-    for k, m in enumerate(mols):
-        for i, j, o in m["bonds"]:
-            # both directions, with the GLOBAL offset PyG collate applies
-            ei_cols += [[i + offsets[k], j + offsets[k]],
-                        [j + offsets[k], i + offsets[k]]]
-            et_vals += [o, o]
-    edge_index = np.asarray(ei_cols, dtype=np.int64).T if ei_cols else np.zeros((2, 0), np.int64)
-    edge_type = np.asarray(et_vals, dtype=np.int64)
-
-    mapping = {
-        "atom_type": torch.tensor(atom_type),
-        "pos": torch.tensor(pos, dtype=torch.float32),
-        "fc": torch.tensor(fc),
-        "edge_index": torch.tensor(edge_index),
-        "edge_type": torch.tensor(edge_type),
-        "num_atom": torch.tensor([len(m["atom_type"]) for m in mols]),
-        "uv": torch.rand(n_mol, 701),
-        "ir": torch.rand(n_mol, 3501),
-        "raman": torch.rand(n_mol, 3501),
-    }
-    storage = pyg_storage.GlobalStorage.__new__(pyg_storage.GlobalStorage)
-    storage.__dict__["_mapping"] = mapping
-    data = pyg_data.Data.__new__(pyg_data.Data)
-    data.__dict__["_store"] = storage
-
-    edge_counts = [2 * len(m["bonds"]) for m in mols]
-    slices = {
-        "atom_type": torch.tensor(offsets),
-        "edge_index": torch.tensor(np.cumsum([0] + edge_counts)),
-        "num_atom": torch.tensor(np.arange(n_mol + 1)),
-    }
-    os.makedirs(os.path.join(root, "processed"), exist_ok=True)
-    torch.save((data, slices),
-               os.path.join(root, "processed", "data_qm9_allspectra.pt"))
-    return mapping
+    return write_processed_pt(root, mols)
 
 
 def _fake_mols():
