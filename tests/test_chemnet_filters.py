@@ -158,3 +158,44 @@ def test_snn_intdiv_full_set_protocol():
     intdiv = FP.internal_diversity_matrix(gen_mat, block=3)
     sims = [FP.tanimoto(gen[i], gen[j]) for i in range(7) for j in range(7)]
     assert intdiv == pytest.approx(1.0 - np.mean(sims), abs=1e-9)
+
+
+def test_mcf_csv_dropin_path(tmp_path, monkeypatch):
+    """VERDICT r2 next-8: the moment any channel provides moses' mcf.csv,
+    dropping it at DIFFSPECTRA_MCF_CSV must be picked up by the Filters
+    metric. RDKit is absent in this image, so the SMARTS parse is exercised
+    through a stub that records what was compiled."""
+    import sys
+    import types
+
+    from diffspectra_tpu.evaluation import filters as F
+
+    csv_path = tmp_path / "mcf.csv"
+    csv_path.write_text("names,smarts\nazide,[N-]=[N+]=N\nacyl_halide,C(=O)Cl\n")
+
+    compiled = []
+
+    class _Patt:
+        def __init__(self, s):
+            self.s = s
+
+    chem = types.SimpleNamespace(
+        MolFromSmarts=lambda s: (compiled.append(s), _Patt(s))[1]
+    )
+    fake_rdkit = types.ModuleType("rdkit")
+    fake_rdkit.Chem = chem
+    monkeypatch.setitem(sys.modules, "rdkit", fake_rdkit)
+    monkeypatch.setenv("DIFFSPECTRA_MCF_CSV", str(csv_path))
+    # reset the module-level memo so this test sees the env var
+    monkeypatch.setattr(F, "_mcf_patterns", None)
+    monkeypatch.setattr(F, "_warned_no_mcf", False)
+
+    patterns = F._get_mcf_patterns()
+    assert compiled == ["[N-]=[N+]=N", "C(=O)Cl"]
+    assert len(patterns) == 2
+
+    # and without the env var (or the repo-local file), the loader degrades
+    # gracefully to the documented PAINS+structural subset
+    monkeypatch.delenv("DIFFSPECTRA_MCF_CSV")
+    monkeypatch.setattr(F, "_mcf_patterns", None)
+    assert F._get_mcf_patterns() == []
