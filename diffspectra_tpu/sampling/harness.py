@@ -194,11 +194,17 @@ def make_cond_sampling_fn(
         total = num_rounds * batch_size
         drawn = perm[np.arange(total) % n]
         drawn_sizes = ds.arrays["num_atom"][ds.indices[drawn]]
-        # partition positions into atom-count buckets; each bucket pads to
-        # its own static N (config.eval.bucket_sizes; default = one bucket at
-        # max_node). Results are restored to draw order below so the output
-        # ordering matches the unbucketed harness.
-        bucket_of = np.searchsorted(bucket_sizes, drawn_sizes)
+        # Sort-and-pack rounds: draws sorted by atom count, chunked into
+        # exactly ceil(total/batch) rounds, each round padded to the
+        # smallest configured bucket that fits its largest molecule
+        # (config.eval.bucket_sizes; default = one bucket at max_node).
+        # Strictly fewer rounds than per-bucket partitioning (round 3: the
+        # old scheme wrap-padded a partial final batch PER BUCKET — ~16% of
+        # device rounds wasted at the 1280-mol bench size). Compiled
+        # executables stay one-per-bucket. Results are restored to draw
+        # order below so the output ordering matches the unbucketed
+        # harness.
+        order = np.argsort(drawn_sizes, kind="stable")
 
         processed: List = [None] * total
         gt_pos: List = [None] * total
@@ -235,34 +241,33 @@ def make_cond_sampling_fn(
                 )
 
         pending = None
-        for bi, n_pad in enumerate(bucket_sizes):
-            positions = np.nonzero(bucket_of == bi)[0]
-            for start in range(0, len(positions), batch_size):
-                sel = positions[start : start + batch_size]
-                if len(sel) == 0:
-                    continue
-                if len(sel) < batch_size:  # wrap to keep static shapes
-                    sel = np.concatenate(
-                        [sel, np.repeat(sel[-1], batch_size - len(sel))]
-                    )[:batch_size]
-                rows = drawn[sel]
-                data = ds.take(rows)
-                data = {
-                    k: (
-                        v[:, :n_pad] if k in ("positions", "atom_one_hot", "atom_type", "formal_charges")
-                        else v[:, :n_pad, :n_pad] if k in ("edge_one_hot", "edge_type")
-                        else v
-                    )
-                    for k, v in data.items()
-                }
-                context = _gather_context(data, spectra_version)
-                n_nodes = jnp.asarray(data["num_atom"])
+        for start in range(0, total, batch_size):
+            sel = order[start : start + batch_size]
+            if len(sel) < batch_size:  # wrap to keep static shapes
+                sel = np.concatenate(
+                    [sel, np.repeat(sel[-1], batch_size - len(sel))]
+                )[:batch_size]
+            n_pad = bucket_sizes[
+                int(np.searchsorted(bucket_sizes, drawn_sizes[sel].max()))
+            ]
+            rows = drawn[sel]
+            data = ds.take(rows)
+            data = {
+                k: (
+                    v[:, :n_pad] if k in ("positions", "atom_one_hot", "atom_type", "formal_charges")
+                    else v[:, :n_pad, :n_pad] if k in ("edge_one_hot", "edge_type")
+                    else v
+                )
+                for k, v in data.items()
+            }
+            context = _gather_context(data, spectra_version)
+            n_nodes = jnp.asarray(data["num_atom"])
 
-                rng, k = jax.random.split(rng)
-                out = round_jit(variables, k, context, n_nodes, n_pad=int(n_pad))
-                if pending is not None:
-                    decode(pending)
-                pending = (out, data, sel)
+            rng, k = jax.random.split(rng)
+            out = round_jit(variables, k, context, n_nodes, n_pad=int(n_pad))
+            if pending is not None:
+                decode(pending)
+            pending = (out, data, sel)
         if pending is not None:
             decode(pending)
         return processed[:n_samples], gt_pos[:n_samples], gt_mols[:n_samples]
