@@ -4,6 +4,7 @@ incl. adaptive-clip queue, batch stats, step) through orbax."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffspectra_tpu import checkpoint as ckpt_lib
 from diffspectra_tpu.configs import smoke
@@ -17,6 +18,7 @@ from diffspectra_tpu.utils.scalers import get_data_scaler
 from test_training import make_batch, small_config
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = small_config()
     batch = make_batch(jax.random.PRNGKey(0), cfg)

@@ -4,6 +4,7 @@ the device-store train path must match the host-pipeline train step."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffspectra_tpu.configs import smoke
 from diffspectra_tpu.data import get_dataset
@@ -118,6 +119,7 @@ def test_estimate_bytes_sane():
     assert 0.5 * actual <= est <= 2 * actual
 
 
+@pytest.mark.slow
 def test_device_store_train_smoke(tmp_path):
     """diffspectra_train end-to-end on the device-store path (smoke config
     fits trivially, device_resident defaults on)."""

@@ -4,6 +4,7 @@ preservation, and harness integration via config.sampling.method."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffspectra_tpu.configs import smoke
 from diffspectra_tpu.diffusion import NoiseScheduleVP
@@ -215,6 +216,7 @@ def test_harness_dpm_sde_method():
     assert np.all(np.isfinite(pos))
 
 
+@pytest.mark.slow
 def test_harness_dpm_method(tmp_path):
     """make_cond_sampling_fn with sampling.method='dpm_solver' produces
     decodable molecules end-to-end."""

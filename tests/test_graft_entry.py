@@ -42,7 +42,9 @@ def test_dryrun_child_env_is_isolated(monkeypatch):
     assert "JAX_PLATFORM_NAME" not in env
     assert env["XLA_FLAGS"] == "--xla_force_host_platform_device_count=8"
     assert captured["cmd"][0] == sys.executable
-    assert captured["cmd"][1:] == [GE.os.path.abspath(GE.__file__), "--dryrun", "8"]
+    assert captured["cmd"][1:] == [
+        GE.os.path.abspath(GE.__file__), "--dryrun", "8", "--flagship"
+    ]
 
 
 def test_dryrun_raises_on_child_failure(monkeypatch):

@@ -5,6 +5,7 @@ same per-shard noise)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffspectra_tpu.configs import smoke
 from diffspectra_tpu.diffusion import NoiseScheduleVP
@@ -24,6 +25,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_parallel_step_runs_and_matches_replicated_semantics():
     cfg = small_config()
     cfg.model.self_cond = False  # avoid per-shard bernoulli divergence in this test

@@ -51,6 +51,7 @@ def _flax_to_torch_state(enc_params, enc_stats, spectra_version="ir", n_layers=3
     return sd
 
 
+@pytest.mark.slow
 def test_pretrained_specformer_roundtrip(tmp_path):
     model = DMT(
         in_node_dim=6, hidden_dim=32, edge_hidden_dim=8, n_heads=4, n_layers=1,

@@ -93,6 +93,7 @@ def test_pack_from_pyg_uses_split_file(tmp_path):
     assert [s.tolist() for s in splits] == [[2], [0], [1], [1]]
 
 
+@pytest.mark.slow
 def test_real_ingest_feeds_production_trainer(tmp_path):
     """End-to-end: a processed .pt in the reference layout is auto-converted
     by load_qm9s (pack_from_pyg) and feeds the PRODUCTION trainer

@@ -12,6 +12,7 @@ from diffspectra_tpu import run_lib
 from diffspectra_tpu.configs import smoke
 
 
+@pytest.mark.slow
 def test_end_to_end_train_and_eval(tmp_path):
     cfg = smoke.get_config()
     cfg.model.nf = 32
@@ -57,6 +58,7 @@ def test_end_to_end_train_and_eval(tmp_path):
     assert os.path.isdir(eval_dir)
 
 
+@pytest.mark.slow
 def test_resume_into_bucketed_training(tmp_path):
     """A checkpoint trained with static N=29-style padding must resume
     cleanly into a bucketed-padding run (params/opt state carry no
@@ -122,6 +124,7 @@ def test_resume_into_bucketed_training(tmp_path):
     assert restored_step() == 7
 
 
+@pytest.mark.slow
 def test_bucketed_sampling_harness(tmp_path):
     """Bucketed eval sampling produces per-molecule outputs in draw order,
     identical shapes and pairings as the single-bucket path."""
@@ -173,6 +176,7 @@ def test_bucketed_sampling_harness(tmp_path):
         assert pred[1].shape[0] == gt[1].shape[0]
 
 
+@pytest.mark.slow
 def test_mesh_sampling_harness():
     """Mesh fan-out of the sampling sweep (SURVEY §2.12): 8 virtual chips,
     each running its batch shard; outputs pair with ground truth exactly as
