@@ -75,16 +75,18 @@ def main():
     flops = float(ca["flops"])
     bytes_acc = float(ca.get("bytes accessed", float("nan")))
 
-    # warm (compile)
+    # warm (compile). NB: block_until_ready returns before this relay's
+    # queue drains (RESULTS.md timing methodology note) — every timed
+    # region must end on a HOST MATERIALISATION of a result instead.
     state, loss = jstep(state, dev_batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(loss)
+    float(np.asarray(loss))
 
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
         for i in range(steps):
             state, loss = jstep(state, dev_batch, jax.random.fold_in(rng, i))
-        jax.block_until_ready(loss)
+        float(np.asarray(loss))  # drains the async queue for real
         best = min(best, (time.perf_counter() - t0) / steps)
 
     tflops = flops / best / 1e12
