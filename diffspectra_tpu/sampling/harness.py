@@ -104,7 +104,18 @@ def make_cond_sampling_fn(
         **sampler_kwargs,
     )
     num_rounds = int(math.ceil(n_samples / batch_size))
-    bucket_sizes = tuple(sorted(config.eval.get("bucket_sizes", ()))) or (max_n,)
+    # int() each entry: a shell-quoting mishap can deliver the STRING
+    # "'(17,29)'" here, which sorted() silently turns into a tuple of
+    # characters and searchsorted then mis-indexes (found via the round-3
+    # rehearsal) — fail loudly instead
+    bucket_sizes = tuple(
+        sorted(int(b) for b in config.eval.get("bucket_sizes", ()))
+    ) or (max_n,)
+    if bucket_sizes[-1] < max_n:
+        raise ValueError(
+            f"eval.bucket_sizes {bucket_sizes} must cover data.max_node "
+            f"{max_n} (largest bucket is the fallback pad)"
+        )
 
     def _round(variables, rng, context, n_nodes, n_pad):
         """One jitted sampling round for a fixed (local batch, n_pad)."""
