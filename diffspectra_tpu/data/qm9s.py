@@ -178,10 +178,23 @@ def write_processed_pt(root: str, mols, spectra=None):
     data.__dict__["_store"] = storage
 
     edge_counts = [2 * len(m["bonds"]) for m in mols]
+    # per-key slices for EVERY stored key, as PyG's collate writes them
+    # (pos/fc share atom offsets, edge_type shares edge offsets, spectra
+    # are row-per-molecule) — a reader using separate()-style per-key
+    # slicing must survive, not just pack_from_pyg (ADVICE r3)
+    atom_off = torch.tensor(offsets)
+    edge_off = torch.tensor(np.cumsum([0] + edge_counts))
+    per_mol = torch.tensor(np.arange(n_mol + 1))
     slices = {
-        "atom_type": torch.tensor(offsets),
-        "edge_index": torch.tensor(np.cumsum([0] + edge_counts)),
-        "num_atom": torch.tensor(np.arange(n_mol + 1)),
+        "atom_type": atom_off,
+        "pos": atom_off,
+        "fc": atom_off,
+        "edge_index": edge_off,
+        "edge_type": edge_off,
+        "num_atom": per_mol,
+        "uv": per_mol,
+        "ir": per_mol,
+        "raman": per_mol,
     }
     os.makedirs(os.path.join(root, "processed"), exist_ok=True)
     torch.save(

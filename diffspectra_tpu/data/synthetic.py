@@ -499,9 +499,144 @@ def _wl_environments(atom_types, edge_type, n_atoms):
     return wl1, wl2
 
 
+# ---------------------------------------------------------------------------
+# Fidelity-4: CONTINUOUS-in-structure spectra (the interventional test of the
+# Top-10 information-ceiling claim, VERDICT r3 next-1).
+#
+# Fidelity-2 keys its local-environment peaks on WL HASHES: an environment
+# never seen in training contributes peaks at positions carrying NO
+# generalizable information, capping unseen-target Top-10 at the train
+# WL-coverage fraction (~0.82, tools/unseen_env_analysis.py). Real DFT
+# spectra are CONTINUOUS functions of local structure: similar environments
+# produce similar frequencies (a C=O stretch shifts smoothly with
+# conjugation), so a model interpolates to unseen environments. Fidelity-4
+# reproduces that property: peak POSITIONS are smooth functions of
+# continuous local descriptors (bond-order-weighted neighbor
+# electronegativity / mass sums and their 2-hop composites — the continuous
+# analogue of the WL-1/WL-2 neighborhoods), so an unseen environment whose
+# composition is close to seen ones produces *near*-seen peaks. If the
+# ceiling claim is right, unseen-target Top-10 on fidelity-4 should climb
+# toward the reference's real-data 99.49% (ref README.md:15).
+# ---------------------------------------------------------------------------
+
+_ELEM_MASS = np.array([1.008, 12.011, 14.007, 15.999, 18.998])  # H C N O F
+_ELEM_EN = np.array([2.20, 2.55, 3.04, 3.44, 3.98])  # Pauling
+
+# standardization constants for the 9 atom descriptors / 5 bond descriptors,
+# measured once over 3000 generator molecules (fixed: they are part of the
+# spectrum definition, not fit to any particular dataset)
+_F4_ATOM_MU = np.array(
+    [2.4155, 1.9708, 4.9842, 1.7638, 5.3775, 12.8143, 5.6542, 14.1021, 4.4054]
+)
+_F4_ATOM_SD = np.array(
+    [0.3566, 1.3305, 3.2531, 1.0223, 4.1341, 8.4219, 2.9796, 7.6689, 3.4002]
+)
+_F4_BOND_MU = np.array([1.0372, 0.8124, 5.0501, 5.6674, 14.1105])
+_F4_BOND_SD = np.array([0.1999, 0.3050, 0.4512, 1.3338, 3.5021])
+# measured std of each unit-norm projection's output over the standardized
+# descriptors (descriptor components are correlated); the per-band gain
+# 1.6/sd makes sigmoid(gain*z) fill its band without saturating
+_F4_ATOM_ZSD = np.array(
+    [[1.3356, 1.0640], [1.4086, 0.9088], [0.8260, 0.4958]]
+)
+_F4_BOND_ZSD = np.array([0.9185, 1.2400, 0.6805])
+
+# fixed random projection directions (deterministic: part of the spectrum
+# definition). Two independent projections per channel for atoms — a
+# collision of DISTINCT environments requires both to coincide — plus one
+# per channel for bonds.
+_f4_wrng = np.random.default_rng(20260820)
+_F4_W = _f4_wrng.normal(size=(3, 2, 9))
+_F4_W /= np.linalg.norm(_F4_W, axis=-1, keepdims=True)
+_F4_WB = _f4_wrng.normal(size=(3, 5))
+_F4_WB /= np.linalg.norm(_F4_WB, axis=-1, keepdims=True)
+del _f4_wrng
+
+# spectral band layout (fractions of the channel length): two atom bands,
+# one bond band — mirroring how real IR separates fingerprint/functional
+# regions. Element-count baseline peaks (discrete but over a fully-seen
+# 5-symbol vocabulary) reuse the fidelity-1 formula.
+_F4_BANDS = ((0.02, 0.34), (0.36, 0.68))
+_F4_BOND_BAND = (0.70, 0.97)
+_F4_WIDTH = 0.004
+
+
+def _continuous_descriptors(atom_types, edge_type, n_atoms):
+    """[n, 9] continuous local-environment descriptors per atom.
+
+    Columns: own electronegativity; total bond order (degree); 1-hop
+    order-weighted neighbor electronegativity / mass / order^2-weighted
+    electronegativity / electronegativity^2; 2-hop composites of degree,
+    electronegativity and mass. Together these near-determine the WL-2
+    neighborhood (a moment-style encoding of the neighbor multiset) while
+    being CONTINUOUS under graph edits — the injectivity is measured, not
+    assumed (tools/ceiling_analysis.py fidelity=4)."""
+    t = np.asarray(atom_types[:n_atoms])
+    o = np.asarray(edge_type[:n_atoms, :n_atoms], dtype=np.float64)
+    chi = _ELEM_EN[t]
+    m = _ELEM_MASS[t] / 10.0
+    deg = o.sum(1)
+    s_chi = o @ chi
+    s_m = o @ m
+    s_o2chi = (o ** 2) @ chi
+    s_chi2 = o @ (chi ** 2)
+    s2_deg = o @ deg
+    s2_chi = o @ s_chi
+    s2_m = o @ s_m
+    return np.stack(
+        [chi, deg, s_chi, s_m, s_o2chi, s_chi2, s2_deg, s2_chi, s2_m], axis=1
+    )
+
+
+def _f4_peak_fracs(atom_types, edge_type, n_atoms, channel, desc=None):
+    """Continuous peak positions for one channel: (atom_fracs [n,2],
+    bond_fracs [n_bonds], bond_amp_scale [n_bonds]).
+
+    Shared by the generator and the identifiability-ceiling analysis so the
+    two can never diverge."""
+    if desc is None:
+        desc = _continuous_descriptors(atom_types, edge_type, n_atoms)
+    d = (desc - _F4_ATOM_MU) / _F4_ATOM_SD
+    atom_fracs = np.empty((n_atoms, 2))
+    for band in range(2):
+        gain = 1.6 / _F4_ATOM_ZSD[channel, band]
+        z = d @ _F4_W[channel, band] * gain
+        lo, hi = _F4_BANDS[band]
+        atom_fracs[:, band] = lo + (hi - lo) / (1.0 + np.exp(-z))
+
+    t = np.asarray(atom_types[:n_atoms])
+    o = np.asarray(edge_type[:n_atoms, :n_atoms], dtype=np.float64)
+    chi = _ELEM_EN[t]
+    m = _ELEM_MASS[t]
+    deg = o.sum(1)
+    s_chi = o @ chi
+    iu, ju = np.nonzero(np.triu(o, 1))
+    if len(iu) == 0:
+        return atom_fracs, np.empty((0,)), np.empty((0,))
+    mu = m[iu] * m[ju] / (m[iu] + m[ju])
+    y = np.stack(
+        [
+            o[iu, ju],
+            1.0 / np.sqrt(mu),  # harmonic-oscillator reduced-mass factor
+            chi[iu] + chi[ju],
+            deg[iu] + deg[ju],
+            s_chi[iu] + s_chi[ju],  # environment shift (conjugation analogue)
+        ],
+        axis=1,
+    )
+    yn = (y - _F4_BOND_MU) / _F4_BOND_SD
+    gain = 1.6 / _F4_BOND_ZSD[channel]
+    zb = yn @ _F4_WB[channel] * gain
+    lo, hi = _F4_BOND_BAND
+    bond_fracs = lo + (hi - lo) / (1.0 + np.exp(-zb))
+    # amplitude carries the bond order (an extra continuous coordinate)
+    bond_amps = 4.0 + 2.0 * o[iu, ju]
+    return atom_fracs, bond_fracs, bond_amps
+
+
 def _structure_spectrum(
     rng, length, atom_types, edge_type, n_atoms, channel, fidelity=1,
-    wl_envs=None,
+    wl_envs=None, f4_desc=None,
 ):
     """Deterministic structure -> spectrum mapping (+ small noise).
 
@@ -518,7 +653,12 @@ def _structure_spectrum(
     tools/ceiling_analysis.py) — isomers with equal bond multisets share a
     spectrum. WL-2 environment multisets are near-injective over QM9-sized
     isomorphism classes, lifting the ceiling to ~1.0, which is the regime
-    real DFT spectra live in (distinct isomers have distinct IR spectra)."""
+    real DFT spectra live in (distinct isomers have distinct IR spectra).
+
+    ``fidelity>=4`` replaces the hash-positioned environment peaks with
+    CONTINUOUS-descriptor peaks (see the fidelity-4 block above): both
+    near-injective AND generalizable — similar environments produce
+    similar peak positions, like real DFT spectra and unlike hashes."""
     x = np.arange(length, dtype=np.float64)
     y = np.zeros(length)
 
@@ -526,6 +666,31 @@ def _structure_spectrum(
         c = center_frac * (length - 1)
         w = max(width_frac * length, 2.0)
         return amp * np.exp(-0.5 * ((x - c) / w) ** 2)
+
+    if fidelity >= 4:
+        # continuous-in-structure spectra: per-atom environment peaks (two
+        # bands, independent projections) + per-bond reduced-mass peaks +
+        # the element-count baseline. No hash-positioned peaks at all.
+        atom_fracs, bond_fracs, bond_amps = _f4_peak_fracs(
+            atom_types, edge_type, n_atoms, channel, desc=f4_desc
+        )
+        fracs = np.concatenate([atom_fracs.reshape(-1), bond_fracs])
+        amps = np.concatenate(
+            [np.full(2 * n_atoms, 6.0), bond_amps]
+        )
+        centers = fracs * (length - 1)
+        w = max(_F4_WIDTH * length, 2.0)
+        y += (
+            amps[:, None]
+            * np.exp(-0.5 * ((x[None, :] - centers[:, None]) / w) ** 2)
+        ).sum(0)
+        for elem in range(5):
+            n_e = int(np.sum(atom_types[:n_atoms] == elem))
+            if n_e:
+                h = (elem * 17 + channel * 29) % 23
+                y += peak(0.1 + 0.8 * h / 23.0, 0.03, 3.0 * n_e)
+        y += np.abs(rng.normal(0, 0.1, size=length))
+        return y.astype(np.float32)
 
     # bond-pattern peaks: fixed frequency per (min(a,b), max(a,b), order, ch)
     iu, ju = np.nonzero(np.triu(edge_type[:n_atoms, :n_atoms], 1))
@@ -599,10 +764,12 @@ def generate(
     pos = np.zeros((size, max_n, 3), dtype=np.float32)
     edge_type = np.zeros((size, max_n, max_n), dtype=np.int64)
     fc = np.zeros((size, max_n), dtype=np.int64)
-    # fidelity>=3: majority ring-bearing structures (real QM9 is majority
+    # fidelity 3/5: majority ring-bearing structures (real QM9 is majority
     # ring-bearing; the acyclic tree generator left the entire ring/
-    # kekulization/scaffold chemistry untrained — VERDICT r2 weak-3)
-    ring_prob = 0.75 if fidelity >= 3 else 0.0
+    # kekulization/scaffold chemistry untrained — VERDICT r2 weak-3).
+    # fidelity 4 keeps the fidelity-2 TREE structure distribution so the
+    # continuous-spectra intervention changes ONLY the spectrum keying.
+    ring_prob = 0.75 if fidelity in (3, 5) else 0.0
     for m in range(size):
         gen_one = (
             _random_ring_molecule
@@ -618,12 +785,22 @@ def generate(
         # valence-saturated molecules (charged species would need different
         # bond counts per allowed_fc_bonds)
 
+    # channel-independent per-molecule caches, computed once per molecule
+    # rather than once per spectral channel
     wl_cache = (
         [
             _wl_environments(atom_type[m], edge_type[m], int(n_atoms[m]))
             for m in range(size)
         ]
-        if fidelity >= 2
+        if fidelity in (2, 3)
+        else [None] * size
+    )
+    f4_cache = (
+        [
+            _continuous_descriptors(atom_type[m], edge_type[m], int(n_atoms[m]))
+            for m in range(size)
+        ]
+        if fidelity >= 4
         else [None] * size
     )
     spectra = {
@@ -632,6 +809,7 @@ def generate(
                 _structure_spectrum(
                     rng, L, atom_type[m], edge_type[m], int(n_atoms[m]), ch,
                     fidelity=fidelity, wl_envs=wl_cache[m],
+                    f4_desc=f4_cache[m],
                 )
                 for m in range(size)
             ]

@@ -267,16 +267,17 @@ def skip_head_mlp_tail(x, width, out, prefix):
 
 
 def edge_skip_head_first(edge_attr, cat_e, n_layers, cat_dim, width):
-    """First layer of the two edge skip-concat prediction heads, computed
-    without the HBM round trips of the naive form (shared by DMT and
-    DMT_WO_EQ; ref models/dmt.py:227-247):
+    """First layer of the two edge skip-concat prediction heads (shared by
+    DMT and DMT_WO_EQ; ref models/dmt.py:227-247): plain transpose+concat
+    of the stacked scan output ``cat_e [L,B,N,N,d]`` into ``[B,N,N,L*d]``,
+    then TWO separate first-layer matmuls (exist head, type head) over the
+    shared ``concat([edge_attr, cat_flat])`` input.
 
-    - the stacked scan output ``cat_e [L,B,N,N,d]`` is contracted directly
-      over ``(l, d)`` — the ``[B,N,N,L*d]`` transpose+concat never
-      materialises (row order of the kernels matches the old
-      ``moveaxis(0,3).reshape`` layout: l-major, d-minor);
-    - both heads' first-layer kernels are applied as ONE matmul over the
-      shared input and the result split by the caller.
+    This is deliberately the SPLIT form. The round-2 "HBM reduction"
+    (merged first kernels as one matmul + einsum contraction straight from
+    the stacked scan layout) benched SLOWER on v5e and was reverted in the
+    round-3 bisect — see the inline comment and RESULTS.md's round-3
+    throughput note.
 
     Exact same math and param tree as two ``nn.Dense(width,
     name='edge_{exist,type}_mlp_0')`` over ``concat([edge_attr, cat_e])``

@@ -21,14 +21,18 @@ matmuls that XLA batches well).
 ``mix_attention(..., use_pallas=False)`` runs the identical jnp fallback;
 the kernel is validated against it in tests (interpret mode on CPU).
 
-STATUS: experimental / opt-in (config.model.use_pallas=False by default).
-The kernel body is now Mosaic-friendly (2-D MXU dots + VPU broadcast
-reductions, no multi-batch-dim contractions) and passes interpret-mode
-parity tests, but this container's remote TPU compile helper currently
-rejects Mosaic payloads (HTTP 500, no diagnostics), so it cannot be
-hardware-validated here. A v5e measurement of the equivalent XLA path shows
-~30us per call at batch 128 — this op is not a bottleneck, so nothing is
-lost by defaulting to the jnp path.
+STATUS: hardware-validated, opt-in (config.model.use_pallas=False by
+default). Round 3 bisected the Mosaic helper's constraints
+(tools/diag_mosaic_bisect.py), rewrote the kernel body to respect them
+(2-D MXU dots, f32-before-collapse casts, 0/1 segment matmuls instead of
+reshape/repeat), and the kernel now COMPILES, RUNS and passes parity
+checks on the v5e. XLA remains the production default because it is
+faster end-to-end: the pallas_call boundary forces its HBM operands
+(edge_attr and the pair mask) to materialise, while the fused XLA graph
+streams them — full measurements and the fusion-boundary analysis in
+PALLAS.md. The whole-pair-grid block kernel (ops/pallas_block.py) is the
+follow-up that moves the boundary to tensors the graph materialises
+anyway.
 """
 
 from __future__ import annotations
@@ -58,9 +62,10 @@ def _kernel(q_ref, k_ref, v_ref, edge_ref, w0_ref, w1_ref, extra_ref,
     ``jnp.repeat`` on the lane dim, and ANY reshape of a bf16 ref whose
     collapsed sublane extent isn't a multiple of the bf16 tile (16) crash
     the remote compiler (HTTP 500); leading-dim reshapes of f32 values and
-    plain 2-D dots compile. Hence: (a) ``edge`` arrives pre-flattened 2-D
-    ([B*N*N, De], flattened outside the kernel) so the bf16 MXU dot needs
-    no in-kernel reshape, (b) only f32 dot OUTPUTS are reshaped, (c) the
+    plain 2-D dots compile. Hence: (a) the ``edge`` ref stays rank-4 and is
+    cast to f32 BEFORE the in-kernel collapse to [Bb*N*N, De] — the f32
+    cast (not pre-flattening) is what satisfies the Mosaic bf16-tile
+    reshape rule, (b) only f32 dot OUTPUTS are reshaped, (c) the
     per-head reduction/expansion of the folded (h, c) axis is done with
     tiny 0/1 segment MATMULS instead of reshape+sum / repeat — exact same
     math.

@@ -28,5 +28,13 @@ jax.config.update("jax_platforms", "cpu")
 # suite took 70-80 min, dominated by repeated CPU XLA compiles). First run
 # pays the compiles; later runs (and re-runs of single files while
 # iterating) hit the disk cache. Keyed separately from the TPU cache.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_tests")
+# Portable location: XDG cache (env-overridable), not a hard-coded /root.
+_cache_root = os.environ.get(
+    "DIFFSPECTRA_TEST_COMPILE_CACHE",
+    os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "jax_comp_tests",
+    ),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_root)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

@@ -45,3 +45,24 @@ def test_fingerprint_separates_only_at_fidelity2():
     c1_f2, _ = fingerprint_and_hash(t1, pos, e1, n1, fidelity=2)
     c2_f2, _ = fingerprint_and_hash(t2, pos, e2, n2, fidelity=2)
     assert c1_f2 != c2_f2          # fidelity 2 separates them
+    # fidelity 4 (continuous keying) separates them too, at both the
+    # optimistic and the conservative quantization
+    for f4_bin in (1, 8):
+        c1_f4, _ = fingerprint_and_hash(
+            t1, pos, e1, n1, fidelity=4, f4_bin=f4_bin
+        )
+        c2_f4, _ = fingerprint_and_hash(
+            t2, pos, e2, n2, fidelity=4, f4_bin=f4_bin
+        )
+        assert c1_f4 != c2_f4
+
+
+def test_ceiling_estimate_fidelity4():
+    r4 = estimate(384, seed=7, fidelity=4)
+    r4c = estimate(384, seed=7, fidelity=4, f4_bin=8)
+    for r in (r4, r4c):
+        assert 0.0 < r["top1_ceiling"] <= 1.0
+        assert r["top1_ceiling"] <= r["top10_ceiling"] <= 1.0
+    # coarser quantization can only merge classes
+    assert r4c["n_classes"] <= r4["n_classes"]
+    assert r4c["top1_ceiling"] <= r4["top1_ceiling"] + 1e-12

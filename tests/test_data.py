@@ -221,6 +221,77 @@ def test_synthetic_fidelity2_distinguishes_isomers():
     assert np.abs(f2_a - f2_b).max() > 1.0
 
 
+def test_synthetic_fidelity4_continuous_and_injective():
+    """Fidelity-4 (VERDICT r3 next-1): spectra keyed on CONTINUOUS local
+    descriptors. Three properties: (a) isomer separation like fidelity-2;
+    (b) CONTINUITY — a remote single-atom edit shifts an atom's peaks by at
+    most a few peak widths (fidelity-2's hash keying teleports them);
+    (c) locality — no shift beyond the 2-hop descriptor radius."""
+    from diffspectra_tpu.data.synthetic import (
+        _f4_peak_fracs, _structure_spectrum,
+    )
+
+    def build(edges, types, max_n=12):
+        n = len(types)
+        e = np.zeros((max_n, max_n), dtype=np.int64)
+        for a, b in edges:
+            e[a, b] = e[b, a] = 1
+        t = np.zeros(max_n, dtype=np.int64)
+        t[:n] = types
+        return t, e, n
+
+    # (a) propan-1-ol vs propan-2-ol heavy skeletons (same fidelity-1 class)
+    t1, e1, n1 = build([(0, 1), (1, 2), (2, 3)], [1, 1, 1, 3])
+    t2, e2, n2 = build([(0, 1), (1, 2), (1, 3)], [1, 1, 1, 3])
+    rng1, rng2 = np.random.default_rng(0), np.random.default_rng(0)
+    f4_a = _structure_spectrum(rng1, 3501, t1, e1, n1, 1, fidelity=4)
+    f4_b = _structure_spectrum(rng2, 3501, t2, e2, n2, 1, fidelity=4)
+    assert np.abs(f4_a - f4_b).max() > 1.0
+
+    # (b)+(c) a 5-chain C0-C1-C2-C3-C4; substitute C4 -> N and look at C0
+    # (4 hops away: zero shift) and C2 (2 hops: small shift)
+    t5, e5, n5 = build([(0, 1), (1, 2), (2, 3), (3, 4)], [1, 1, 1, 1, 1])
+    t5b = t5.copy()
+    t5b[4] = 2  # N
+    a1, _, _ = _f4_peak_fracs(t5, e5, n5, channel=1)
+    a2, _, _ = _f4_peak_fracs(t5b, e5, n5, channel=1)
+    width_frac = 0.004
+    # atom 0 is 4 hops from the edit: descriptors unchanged, zero shift
+    np.testing.assert_allclose(a1[0], a2[0], atol=1e-12)
+    # atom 2 is 2 hops away: nonzero but SMALL (< 10 peak widths; a
+    # fidelity-2 hash rekeying would move it ~0.3 of the spectrum)
+    shift = np.abs(a1[2] - a2[2]).max()
+    assert 0 < shift < 10 * width_frac
+
+
+def test_fidelity4_structure_mode_is_trees():
+    """fidelity=4 keeps the fidelity-2 TREE structure distribution (the
+    clean intervention: only the spectrum keying changes); fidelity=5 is
+    the ring-bearing counterpart of fidelity-3."""
+    a4 = generate(seed=9, size=24, max_n=29, fidelity=4)
+    a2 = generate(seed=9, size=24, max_n=29, fidelity=2)
+    np.testing.assert_array_equal(a4["atom_type"], a2["atom_type"])
+    np.testing.assert_array_equal(a4["edge_type"], a2["edge_type"])
+    assert np.abs(a4["ir"] - a2["ir"]).max() > 1.0  # spectra differ
+
+    def has_ring(edge, n):
+        # edges >= nodes in any connected component with a cycle; molecules
+        # are connected, so bonds >= n means at least one ring
+        return np.triu(edge[:n, :n], 1).astype(bool).sum() >= n
+
+    a5 = generate(seed=9, size=24, max_n=29, fidelity=5)
+    rings5 = sum(
+        has_ring(a5["edge_type"][m], int(a5["num_atom"][m]))
+        for m in range(24)
+    )
+    rings4 = sum(
+        has_ring(a4["edge_type"][m], int(a4["num_atom"][m]))
+        for m in range(24)
+    )
+    assert rings4 == 0
+    assert rings5 >= 8  # ring_prob 0.75 (gated on n>=8 atoms)
+
+
 def test_synthetic_cache_roundtrip(tmp_path):
     a = generate(seed=5, size=16, max_n=12, fidelity=2, cache_dir=str(tmp_path))
     files = list(tmp_path.glob("synth_*.npz"))

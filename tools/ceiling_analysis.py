@@ -40,14 +40,48 @@ from diffspectra_tpu.evaluation.molgraph import MolGraph
 MAX_N = 29
 
 
-def fingerprint_and_hash(types, pos, edge, n_total, fidelity=1):
-    """(spectrum-equivalence class key, isomorphism-class key)."""
+def fingerprint_and_hash(types, pos, edge, n_total, fidelity=1, f4_bin=1):
+    """(spectrum-equivalence class key, isomorphism-class key).
+
+    ``fidelity>=4``: the key is what the IR channel alone resolves (the
+    campaigns condition on IR): per-BAND multisets of quantized continuous
+    peak positions — NOT per-atom (band0, band1) pairs, because the
+    spectrum is a sum and the pairing is unobservable — plus the bond-peak
+    (position, amplitude) multiset and element counts. ``f4_bin`` is the
+    quantization in IR bins: 1 = optimistic (any sub-bin shift resolvable),
+    8 ≈ half a peak width = conservative."""
+    elem = tuple(int((types[:n_total] == e).sum()) for e in range(5))
+    if fidelity >= 4:
+        from diffspectra_tpu.data.synthetic import _f4_peak_fracs
+
+        atom_fracs, bond_fracs, bond_amps = _f4_peak_fracs(
+            types, edge, n_total, channel=1
+        )
+        L = 3501  # IR
+        q = lambda fr: tuple(sorted(
+            int(round(f * (L - 1))) // f4_bin for f in fr
+        ))
+        class_key = (
+            q(atom_fracs[:, 0]),
+            q(atom_fracs[:, 1]),
+            tuple(sorted(zip(
+                (int(round(f * (L - 1))) // f4_bin for f in bond_fracs),
+                (float(a) for a in bond_amps),
+            ))),
+            elem,
+        )
+        syms = ["H", "C", "N", "O", "F"]
+        g = MolGraph(
+            [syms[int(t)] for t in types[:n_total]],
+            np.zeros(n_total, dtype=np.int64),
+            np.asarray(edge[:n_total, :n_total]),
+        )
+        return class_key, g.wl_hash()
     pats = Counter()
     iu, ju = np.nonzero(np.triu(edge[:n_total, :n_total], 1))
     for i, j in zip(iu, ju):
         a, b = sorted((int(types[i]), int(types[j])))
         pats[(a, b, int(edge[i, j]))] += 1
-    elem = tuple(int((types[:n_total] == e).sum()) for e in range(5))
     class_key = (tuple(sorted(pats.items())), elem)
     if fidelity >= 2:
         wl1, wl2 = _wl_environments(types, edge, n_total)
@@ -64,14 +98,16 @@ def fingerprint_and_hash(types, pos, edge, n_total, fidelity=1):
     return class_key, g.wl_hash()
 
 
-def estimate(n_samples, seed=123, fidelity=1):
+def estimate(n_samples, seed=123, fidelity=1, f4_bin=1):
     rng = np.random.default_rng(seed)
     info = get_dataset_info("qm9_second_half")
     n_atoms = np.minimum(_sample_n_atoms(rng, info, n_samples), MAX_N)
     classes = defaultdict(Counter)  # class_key -> Counter(wl_hash)
     for m in range(n_samples):
         t, p, e, n_total = _random_tree_molecule(rng, int(n_atoms[m]), MAX_N)
-        ck, h = fingerprint_and_hash(t, p, e, n_total, fidelity=fidelity)
+        ck, h = fingerprint_and_hash(
+            t, p, e, n_total, fidelity=fidelity, f4_bin=f4_bin
+        )
         classes[ck][h] += 1
 
     total = n_samples
@@ -103,14 +139,15 @@ def estimate(n_samples, seed=123, fidelity=1):
 
 if __name__ == "__main__":
     fidelity = int(os.environ.get("CEILING_FIDELITY", "1"))
+    f4_bin = int(os.environ.get("CEILING_F4_BIN", "1"))
     ns = [int(a) for a in sys.argv[1:]] or [32768, 131072, 524288]
-    print(f"fidelity={fidelity}")
+    print(f"fidelity={fidelity} f4_bin={f4_bin}")
     print(
         f"{'N':>8} {'classes':>8} {'Top-1 ceil':>10} {'Top-10 ceil':>11} "
         f"{'1-mol classes':>13} {'mean size':>9}"
     )
     for n in ns:
-        r = estimate(n, fidelity=fidelity)
+        r = estimate(n, fidelity=fidelity, f4_bin=f4_bin)
         print(
             f"{r['n']:>8} {r['n_classes']:>8} {r['top1_ceiling']:>10.4f} "
             f"{r['top10_ceiling']:>11.4f} {r['singleton_class_frac']:>13.3f} "
