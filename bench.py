@@ -67,6 +67,12 @@ def main():
     cfg.sampling.steps = PROTOCOL_STEPS
     if os.environ.get("BENCH_PALLAS", "") == "1":
         cfg.model.use_pallas = True
+    if os.environ.get("BENCH_PALLAS_OPS", ""):
+        # e.g. BENCH_PALLAS_OPS=block — which fused kernels to dispatch
+        # (model.pallas_ops; 'block' = ops/pallas_block.py whole-block fusion)
+        cfg.model.pallas_ops = tuple(
+            s for s in os.environ["BENCH_PALLAS_OPS"].split(",") if s
+        )
     if BUCKETS is not None:
         cfg.eval.bucket_sizes = (
             tuple(int(b) for b in BUCKETS.split(",") if b) if BUCKETS else ()

@@ -51,7 +51,52 @@ class MultiCondEquiUpdate(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, h, pos, edge_attr, dist, time_emb, adj_extra, edge_mask):
+    def __call__(self, h, pos, edge_attr, dist, time_emb, adj_extra,
+                 edge_mask, export_for_block=False):
+        if export_for_block:
+            # whole-block Pallas path (ops/pallas_block.py): ``h``/
+            # ``edge_attr``/``dist`` are produced INSIDE the fused kernel,
+            # so this branch only declares the parameters (same names →
+            # same checkpoints), runs the node-level time MLP, and computes
+            # the CoorsNorm'd coordinate differences (~1% of pair bytes;
+            # keeps the double-where NaN story in CoorsNorm).
+            B = pos.shape[0]
+            D = self.hidden_dim
+            coord_diff = pos[:, :, None, :] - pos[:, None, :, :]
+            normed_diff = CoorsNorm(scale_init=1e-2, name="coord_norm")(
+                coord_diff
+            )
+            in_ch = 2 * D + self.edge_dim + self.dist_dim
+            kernel = self.param(
+                "input_lin_kernel", nn.initializers.lecun_normal(),
+                (in_ch, self.hidden_dim), jnp.float32,
+            )
+            bias = self.param(
+                "input_lin_bias", nn.initializers.zeros,
+                (self.hidden_dim,), jnp.float32,
+            )
+            ss = nn.Dense(
+                self.hidden_dim * 2, dtype=self.dtype, name="time_mlp"
+            )(nn.silu(time_emb.astype(self.dtype)))
+            shift, scale = jnp.split(ss.astype(jnp.float32), 2, axis=-1)
+            k0, b0 = DenseParams(
+                self.hidden_dim, self.hidden_dim, name="coord_mlp_0"
+            )()
+            k1, _ = DenseParams(
+                self.hidden_dim, 1 + self.extra_heads, use_bias=False,
+                name="coord_mlp_1",
+            )()
+            return {
+                "normed_diff": normed_diff,
+                "w_hi": kernel[:D],
+                "w_hj": kernel[D : 2 * D],
+                "w_e": kernel[2 * D : 2 * D + self.edge_dim],
+                "w_d": kernel[2 * D + self.edge_dim :],
+                "bias": bias,
+                "shift": shift,
+                "scale": scale,
+                "k0": k0, "b0": b0, "k1": k1,
+            }
         B, N, _ = h.shape
         D = h.shape[-1]
         h = h.astype(self.dtype)
@@ -184,6 +229,19 @@ class EquivariantMixBlock(nn.Module):
         h_in_node = h
         h_in_edge = edge_attr
 
+        if (
+            self.use_pallas
+            and "block" in self.pallas_ops
+            and self.cond_time
+            and self.dist_gbf
+            and (deterministic or self.dropout == 0.0)
+            and extra_heads.shape[-1] == self.num_extra_heads
+        ):
+            return self._fused_block(
+                pos, h, edge_attr, node_mask, edge_mask, extra_heads,
+                node_time_emb, edge_time_emb, dist_dim,
+            )
+
         # re-encode current distances each block (ref :136-139)
         distance = M.coord2dist_dense(pos)  # [B,N,N,1]
         if self.dist_gbf:
@@ -303,6 +361,124 @@ class EquivariantMixBlock(nn.Module):
         )(h_out, pos, h_edge_out, distance, edge_time_emb, extra_heads, edge_mask)
 
         return h_out, h_edge_out, pos
+
+    def _fused_block(self, pos, h, edge_attr, node_mask, edge_mask,
+                     extra_heads, node_time_emb, edge_time_emb, dist_dim):
+        """Whole-pair-grid-block Pallas dispatch (ops/pallas_block.py).
+
+        Declares the EXACT parameter tree of the XLA branch (every Dense /
+        DenseParams under the same names), runs the node-level
+        preprocessing in XLA (adaLN vectors, q/k/v projections, time MLPs,
+        d2/CoorsNorm — ~1/N^2 of the traffic), and hands the whole
+        pair-grid chain to one fused kernel whose HBM operands are only
+        the scan-carried residuals. Inference-only (no VJP)."""
+        from ..ops.pallas_block import block_fused
+
+        d2 = M.coord2dist_dense(pos)  # [B,N,N,1] f32
+        gbf_means, gbf_stds, g_scale, g_shift = _GBF_LAYERS[self.gbf_name](
+            dist_dim, self.time_dim, name="dist_layer"
+        )(d2, edge_time_emb, export_params=True)
+        k_emb, b_emb = DenseParams(
+            dist_dim + self.edge_dim, self.edge_dim, name="edge_emb"
+        )()
+
+        ln = lambda name: nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, name=name
+        )
+        node_mods = jnp.split(
+            nn.Dense(self.node_dim * 6, dtype=self.dtype,
+                     name="node_time_mlp")(
+                nn.silu(node_time_emb.astype(self.dtype))
+            ).astype(jnp.float32),
+            6, axis=-1,
+        )
+        edge_mods = jnp.split(
+            nn.Dense(self.edge_dim * 6, dtype=self.dtype,
+                     name="edge_time_mlp")(
+                nn.silu(edge_time_emb.astype(self.dtype))
+            ).astype(jnp.float32),
+            6, axis=-1,
+        )
+        (n_shift_msa, n_scale_msa, n_gate_msa, n_shift_mlp, n_scale_mlp,
+         n_gate_mlp) = node_mods
+
+        hm = modulate(
+            ln("norm1_node")(h), n_shift_msa[:, None, :],
+            n_scale_msa[:, None, :],
+        )
+        q2, k2, v2, w0a, w1a = DenseTransMixLayer(
+            self.node_dim,
+            self.node_dim // self.num_heads,
+            extra_heads=self.num_extra_heads,
+            heads=self.num_heads,
+            dropout=self.dropout,
+            set_inf=self.softmax_inf,
+            dtype=self.dtype,
+            name="attn_mpnn",
+        )(hm, edge_attr, extra_heads, edge_mask, export_for_block=True)
+
+        n2e_kernel = self.param(
+            "node2edge_kernel",
+            nn.initializers.lecun_normal(),
+            (self.node_dim, self.edge_dim),
+            jnp.float32,
+        )
+        n2e_bias = self.param(
+            "node2edge_bias", nn.initializers.zeros, (self.edge_dim,),
+            jnp.float32,
+        )
+        fn1_k, fn1_b = DenseParams(
+            self.node_dim, self.node_dim * self.mlp_ratio, name="ff_linear1"
+        )()
+        fn2_k, fn2_b = DenseParams(
+            self.node_dim * self.mlp_ratio, self.node_dim, name="ff_linear2"
+        )()
+        fe1_k, fe1_b = DenseParams(
+            self.edge_dim, self.edge_dim * self.mlp_ratio, name="ff_linear3"
+        )()
+        fe2_k, fe2_b = DenseParams(
+            self.edge_dim * self.mlp_ratio, self.edge_dim, name="ff_linear4"
+        )()
+
+        eq = MultiCondEquiUpdate(
+            self.node_dim,
+            self.edge_dim,
+            dist_dim,
+            self.time_dim,
+            self.num_extra_heads,
+            dtype=self.dtype,
+            name="equi_update",
+        )(None, pos, None, None, edge_time_emb, None, None,
+          export_for_block=True)
+
+        B = h.shape[0]
+        node_mods4 = jnp.stack(
+            [n_gate_msa, n_shift_mlp, n_scale_mlp, n_gate_mlp], axis=1
+        )  # [B,4,Dh]
+        edge_mods6 = jnp.stack(edge_mods, axis=1)  # [B,6,De]
+        eq_ss = jnp.stack([eq["shift"], eq["scale"]], axis=1)  # [B,2,Dh]
+        gbf_ss = jnp.stack(
+            [g_scale.astype(jnp.float32), g_shift.astype(jnp.float32)],
+            axis=-1,
+        )[:, None, :]  # [B,1,2]
+
+        h_out, edge_out, agg = block_fused(
+            h.astype(jnp.float32), q2, k2, v2, edge_attr, d2,
+            eq["normed_diff"], extra_heads.astype(jnp.float32),
+            edge_mask, node_mask,
+            node_mods4, edge_mods6, eq_ss, gbf_ss,
+            gbf_means, gbf_stds,
+            k_emb[:dist_dim], k_emb[dist_dim:], b_emb,
+            w0a, w1a, n2e_kernel, n2e_bias,
+            fn1_k, fn1_b, fn2_k, fn2_b, fe1_k, fe1_b, fe2_k, fe2_b,
+            eq["w_hi"], eq["w_hj"], eq["w_e"], eq["w_d"], eq["bias"],
+            eq["k0"], eq["b0"], eq["k1"],
+            set_inf=self.softmax_inf,
+            n_heads=self.num_heads,
+            n_extra=self.num_extra_heads,
+            out_ch=self.node_dim // self.num_heads,
+        )
+        return h_out, edge_out, pos + agg
 
 
 class _BlockWithCollect(nn.Module):

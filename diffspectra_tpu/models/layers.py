@@ -65,10 +65,15 @@ class GaussianLayer(nn.Module):
     time_dim: int = 0  # unused; kept for constructor parity
 
     @nn.compact
-    def __call__(self, x, time_emb=None):
+    def __call__(self, x, time_emb=None, export_params=False):
         k = self.K - 1
         means = self.param("means", nn.initializers.uniform(3.0), (k,))
         stds = self.param("stds", nn.initializers.uniform(3.0), (k,))
+        if export_params:
+            # whole-block Pallas path (ops/pallas_block.py): hand the basis
+            # params to the kernel; no time conditioning in this variant
+            zeros = jnp.zeros((x.shape[0],), jnp.float32)
+            return means, stds, zeros, zeros
         std = jnp.abs(stds) + 1e-5
         return jnp.concatenate([x, _gaussian(x, means, std)], axis=-1)
 
@@ -84,10 +89,15 @@ class CondGaussianLayer(nn.Module):
     time_dim: int
 
     @nn.compact
-    def __call__(self, x, time_emb=None):
+    def __call__(self, x, time_emb=None, export_params=False):
         k = self.K - 1
         means = self.param("means", nn.initializers.uniform(3.0), (k,))
         stds = self.param("stds", nn.initializers.uniform(3.0), (k,))
+        if export_params:
+            # whole-block Pallas path: the kernel applies the basis on the
+            # pair grid; only the node-level time MLP runs here
+            ss = nn.Dense(2, name="time_mlp")(nn.silu(time_emb))
+            return means, stds, ss[:, 0], ss[:, 1]
         if time_emb is not None:
             ss = nn.Dense(2, name="time_mlp")(nn.silu(time_emb))  # [B, 2]
             scale, shift = ss[:, 0], ss[:, 1]
@@ -177,7 +187,8 @@ class DenseTransMixLayer(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, edge_attr, extra_heads, edge_mask, deterministic=True):
+    def __call__(self, x, edge_attr, extra_heads, edge_mask,
+                 deterministic=True, export_for_block=False):
         H = self.heads
         E = H - self.extra_heads  # sub (learned) heads
         C = self.out_channels
@@ -185,7 +196,7 @@ class DenseTransMixLayer(nn.Module):
 
         # expand extra heads channel-wise if fewer provided (ref :140-144)
         n_cur = extra_heads.shape[-1]
-        if n_cur != self.extra_heads:
+        if not export_for_block and n_cur != self.extra_heads:
             n_expand = self.extra_heads // n_cur
             extra_heads = jnp.repeat(extra_heads, n_expand, axis=-1)
 
@@ -206,6 +217,17 @@ class DenseTransMixLayer(nn.Module):
             "lin_edge1_kernel", nn.initializers.lecun_normal(),
             (edge_attr.shape[-1], H * C), jnp.float32,
         )
+
+        if export_for_block:
+            # whole-block Pallas path (ops/pallas_block.py): q/k/v are
+            # node-level (computed here, XLA), the edge-gate kernels go to
+            # the fused kernel raw; ``edge_attr`` was only a shape donor.
+            return (
+                query.reshape(B, N, E * sub_c),
+                key.reshape(B, N, E * sub_c),
+                value.reshape(B, N, H * C),
+                w0, w1,
+            )
 
         # fused Pallas kernel: projection+tanh+logits+softmax+sum in VMEM
         # (no attention-weight dropout inside — jnp path when dropout active)
