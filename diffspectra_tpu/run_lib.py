@@ -256,7 +256,10 @@ def diffspectra_train(config, config_original_qm9, workdir):
         # has no checkpoint of its own — a real resume always wins
         from . import warm_state as warm_lib
 
-        state = warm_lib.load_warm_state(state, warm_path)
+        state = warm_lib.load_warm_state(
+            state, warm_path,
+            partial=bool(config.training.get("warm_start_partial", False)),
+        )
         initial_step = int(state.step)
     if initial_step == 0:
         logging.info("%s", config)

@@ -85,6 +85,40 @@ def _decode(npz, prefix: str) -> dict:
     return flat
 
 
+def _merge_partial(tree, flat: dict, what: str):
+    """Replace the leaves of ``tree`` that exist in ``flat`` with matching
+    shapes; keep the fresh initialization for the rest.
+
+    The cross-spectra warm start: an `allspectra` model warm-started from
+    an IR-only campaign shares the whole DMT trunk but not the SpecFormer
+    patch embedders — the same partial-restore semantics as the
+    reference's pretrained-SpecFormer load (ref models/dmt.py:268-303,
+    prefix-matched partial state-dict copy)."""
+    want = _flatten(tree)
+    hit, skip_shape = 0, 0
+    merged = {}
+    for path, leaf in want.items():
+        arr = np.asarray(leaf)
+        if path in flat and flat[path].shape == arr.shape:
+            merged[path] = jnp.asarray(flat[path], dtype=arr.dtype)
+            hit += 1
+        else:
+            if path in flat:
+                skip_shape += 1
+            merged[path] = leaf
+    unused = len(set(flat) - set(want))
+    logging.info(
+        "partial warm start %s: %d/%d leaves restored "
+        "(%d shape-mismatched kept fresh, %d npz keys unused)",
+        what, hit, len(want), skip_shape, unused,
+    )
+    if hit == 0:
+        raise ValueError(
+            f"partial warm state restored nothing for {what} — wrong file?"
+        )
+    return traverse_util.unflatten_dict(merged, sep="/")
+
+
 def _merge(tree, flat: dict, what: str):
     """Replace every leaf of ``tree`` from ``flat``, keeping leaf dtypes."""
     want = _flatten(tree)
@@ -115,21 +149,25 @@ def _merge(tree, flat: dict, what: str):
     return traverse_util.unflatten_dict(merged, sep="/")
 
 
-def load_warm_state(state, path: str):
+def load_warm_state(state, path: str, partial: bool = False):
     """Return ``state`` with params/EMA/batch_stats/step from the npz.
 
     ``state`` must be a freshly created ``TrainState`` for the same model
-    config; its (fresh) optimizer state is kept as-is.
+    config; its (fresh) optimizer state is kept as-is. ``partial=True``
+    restores only the intersecting same-shape leaves (cross-spectra warm
+    starts, e.g. allspectra model from an IR-only campaign) and keeps the
+    fresh init for the rest — see ``_merge_partial``.
     """
+    merge = _merge_partial if partial else _merge
     with np.load(path, allow_pickle=False) as npz:
         meta = json.loads(str(npz[_META])) if _META in npz.files else {}
-        params = _merge(state.params, _decode(npz, "params"), "params")
+        params = merge(state.params, _decode(npz, "params"), "params")
         batch_stats = (
-            _merge(state.batch_stats, _decode(npz, "batch_stats"), "batch_stats")
+            merge(state.batch_stats, _decode(npz, "batch_stats"), "batch_stats")
             if state.batch_stats
             else state.batch_stats
         )
-        ema_shadow = _merge(state.ema.shadow_params, _decode(npz, "ema"), "ema")
+        ema_shadow = merge(state.ema.shadow_params, _decode(npz, "ema"), "ema")
         step = int(npz[_RAW + "step"])
         ema_n = int(npz[_RAW + "ema_num_updates"])
     logging.info(

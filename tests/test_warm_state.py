@@ -132,3 +132,69 @@ def test_train_pipeline_consumes_warm_start(tmp_path):
     _, _, fresh2 = run_lib._init_model_and_state(cfg_r, batch, jax.random.PRNGKey(0))
     resumed = ckpt_lib.restore_for_resume(wd2, fresh2)
     assert int(resumed.step) == 4
+
+
+def test_warm_state_partial_restore_cross_model(tmp_path):
+    """partial=True restores intersecting same-shape leaves and keeps the
+    fresh init for the rest — the cross-spectra warm start (allspectra
+    model from an IR-only campaign; ref models/dmt.py:268-303 semantics)."""
+    from flax import traverse_util
+
+    cfg = small_config()
+    state, _, _, _ = _trained_state(cfg, n_steps=1)
+    path = str(tmp_path / "warm.npz")
+    warm_state.export_warm_state(jax.device_get(state), path)
+
+    # a model whose tree differs: one extra block (stacked-leaf shapes
+    # change) — the strict loader rejects it, the partial loader restores
+    # the shape-compatible leaves (heads, encoders) and keeps fresh blocks
+    cfg2 = small_config()
+    cfg2.model.n_layers = cfg.model.n_layers + 1
+    _, fresh2, step_fn2, batch2 = _trained_state(cfg2, n_steps=0)
+    restored = warm_state.load_warm_state(fresh2, path, partial=True)
+    assert int(restored.step) == int(state.step)
+
+    want = traverse_util.flatten_dict(jax.device_get(state.params), sep="/")
+    got = traverse_util.flatten_dict(restored.params, sep="/")
+    fresh_flat = traverse_util.flatten_dict(
+        jax.device_get(fresh2.params), sep="/"
+    )
+    restored_leaves = 0
+    for p in got:
+        if p in want and np.asarray(want[p]).shape == np.asarray(got[p]).shape:
+            np.testing.assert_allclose(
+                np.asarray(got[p]), np.asarray(want[p]), rtol=8e-3,
+                err_msg=p,
+            )
+            restored_leaves += 1
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(got[p]), np.asarray(fresh_flat[p]), err_msg=p
+            )
+    assert restored_leaves > 0
+
+    # and it trains
+    s2, loss = step_fn2(restored, batch2, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+
+
+def test_warm_state_partial_restore_nothing_raises(tmp_path):
+    cfg = small_config()
+    state, fresh, _, _ = _trained_state(cfg, n_steps=1)
+    path = str(tmp_path / "warm.npz")
+    warm_state.export_warm_state(jax.device_get(state), path)
+    # an npz with disjoint keys: simulate by loading into a tree whose
+    # flattened paths can never match (prefix-scrambled copy)
+    import numpy as _np
+
+    raw = dict(_np.load(path))
+    scrambled = {
+        (k.replace("params/", "params/zz_", 1)
+         if k.startswith(("bf16:params/", "raw:params/"))
+         else k): v
+        for k, v in raw.items()
+    }
+    p2 = str(tmp_path / "scrambled.npz")
+    _np.savez(p2, **scrambled)
+    with pytest.raises(ValueError, match="restored nothing"):
+        warm_state.load_warm_state(fresh, p2, partial=True)

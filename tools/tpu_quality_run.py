@@ -44,6 +44,11 @@ def main():
     # cross-machine warm start (warm_state.py): used only when the workdir
     # has no checkpoint of its own
     cfg.training.warm_start = os.environ.get("QUALITY_WARM_START", "")
+    if os.environ.get("QUALITY_WARM_PARTIAL", "") == "1":
+        # cross-spectra warm start (e.g. allspectra model from the IR-only
+        # campaign state): restore intersecting leaves, fresh encoder
+        with cfg.unlocked():
+            cfg.training.warm_start_partial = True
 
     from _overrides import apply_env_overrides
 
