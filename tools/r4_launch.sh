@@ -28,7 +28,7 @@ export WARM_NPZ=/root/repo/artifacts/warm_qm9s_ir.npz
 export WARM_OUT=/root/repo/artifacts/warm_qm9s_f4.npz
 
 echo "$(date '+%F %T') r4: probing TPU backend"
-until timeout 300 python tools/tpu_probe.py; do
+until timeout 900 python tools/tpu_probe.py; do
   echo "$(date '+%F %T') r4: TPU unavailable, retrying in 180s"
   sleep 180
 done
