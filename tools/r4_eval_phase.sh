@@ -100,7 +100,11 @@ run_job diag_block timeout 3600 python tools/diag_block.py
 run_job bench_block env BENCH_PALLAS=1 BENCH_PALLAS_OPS=block \
   timeout 3600 python bench.py
 
-# 8. train-step HBM probe (VERDICT next-3 evidence base)
+# 8. train-step HBM probes (VERDICT next-3 evidence base): baseline +
+# the named candidate levers, same measurement protocol
 run_job train_mfu timeout 3600 python tools/train_mfu.py
+run_job train_mfu_sfbf16 env \
+  TRAIN_OVERRIDES="model.specformer_bf16=True" \
+  timeout 3600 python tools/train_mfu.py
 
 echo "$(date '+%F %T') r4-eval: ALL JOBS DONE"

@@ -50,6 +50,11 @@ def main():
     cfg.data.synthetic_size = 2048
     cfg.training.batch_size = B
     cfg.training.base_batch_size = B
+    from _overrides import apply_env_overrides
+
+    # MFU probes sweep config knobs (remat_policy, specformer_bf16, ...)
+    # via the same TRAIN_OVERRIDES surface the launchers use
+    apply_env_overrides(cfg)
     cfg = run_lib.resolve_runtime_config(cfg, 1)
 
     _, train_ds, _, _, _ = get_dataset(cfg)
