@@ -132,6 +132,17 @@ def get_config():
     training.snapshot_sampling = True
     # precision: bf16 matmuls on TPU (f32 params); 'highest' falls back to f32
     training.matmul_precision = "bfloat16"
+    # jax_default_prng_impl, applied by run_lib.resolve_runtime_config.
+    # 'rbg' (production default) draws random bits with the TPU-native
+    # XLA RngBitGenerator — same key/split API and distributions,
+    # different (equally valid) streams, deterministic per key (remat
+    # replays the identical dropout masks). Measured on v5e (RESULTS.md
+    # round-4 HBM decomposition): pair-grid dropout threefry generation
+    # was 18.4 ms of the 31.5 ms train-mode forward; 'rbg' removes it —
+    # full train step 84.1 -> 67.0 ms (+25% graphs/s) at batch 128/N=29.
+    # '' keeps jax's default threefry2x32 (the test-suite setting, see
+    # configs/smoke.py).
+    training.prng_impl = "rbg"
     # capture a jax.profiler trace of steps [init+10, init+15) to
     # <workdir>/profile
     training.profile = False

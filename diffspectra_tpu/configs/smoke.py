@@ -28,6 +28,10 @@ def get_config():
     config.training.snapshot_freq = 20
     config.training.snapshot_freq_for_preemption = 10
     config.training.matmul_precision = "float32"
+    # keep the suite on jax's default threefry streams: resolve_runtime_config
+    # applies prng_impl PROCESS-globally, and the TPU-native 'rbg' win is a
+    # production-train concern, not a CPU-test one
+    config.training.prng_impl = ""
 
     config.optim.warmup = 10
 

@@ -51,7 +51,21 @@ def set_random_seed(config):
 
 def resolve_runtime_config(config, n_devices: int):
     """Device-count scaling, mirroring ref configs/diffspectra_qm9s.py:87-115
-    (which scales batch by GPU count and divides iteration counts)."""
+    (which scales batch by GPU count and divides iteration counts).
+
+    Also applies ``training.prng_impl`` to ``jax_default_prng_impl``: the
+    round-4 HBM decomposition (tools/train_hbm_decomp.py) measured the
+    train-mode forward at 207 GB/s vs 760 GB/s for the deterministic
+    sampling forward, with per-block pair-grid dropout threefry generation
+    (~1.3e9 bits/step incl. the remat recompute) a dominant non-streaming
+    cost; 'rbg' lowers to the TPU-native XLA RngBitGenerator (the T5X /
+    MaxText production setting) with identical key/split semantics and
+    distribution. Every entrypoint (train, eval, tools) resolves its config
+    through here BEFORE creating keys, so the switch takes effect globally.
+    """
+    impl = config.training.get("prng_impl", "")
+    if impl:
+        jax.config.update("jax_default_prng_impl", impl)
     t = config.training
     with config.unlocked():
         if t.get("num_devices", 0) == 0:
