@@ -336,3 +336,37 @@ def test_fresh_train_with_bucketed_padding(tmp_path):
     workdir = str(tmp_path / "run")
     run_lib.train(cfg, None, workdir)
     assert os.path.exists(os.path.join(workdir, "checkpoints", "checkpoint_1"))
+
+
+def test_resolve_runtime_config_prng_impl():
+    """training.prng_impl: '' leaves jax's default untouched; an explicit
+    impl is applied process-globally (the round-4 HBM lever — RESULTS.md
+    round-4 decomposition; production default 'rbg' lives in the qm9s
+    config, while smoke keeps '' so the suite stays on threefry)."""
+    import jax
+
+    before = jax.config.jax_default_prng_impl
+    try:
+        cfg = smoke.get_config()
+        assert cfg.training.prng_impl == ""
+        run_lib.resolve_runtime_config(cfg, 1)
+        assert jax.config.jax_default_prng_impl == before
+
+        cfg2 = smoke.get_config()
+        cfg2.training.prng_impl = "rbg"
+        run_lib.resolve_runtime_config(cfg2, 1)
+        assert jax.config.jax_default_prng_impl == "rbg"
+        # rbg keys are uint32[4]; draws are finite and deterministic per key
+        k = jax.random.PRNGKey(7)
+        assert k.shape == (4,)
+        a = float(jax.random.uniform(k))
+        b = float(jax.random.uniform(k))
+        assert a == b and 0.0 <= a < 1.0
+
+        # the production config requests rbg by default
+        from diffspectra_tpu.configs import diffspectra_qm9s
+
+        assert diffspectra_qm9s.get_config().training.prng_impl == "rbg"
+    finally:
+        jax.config.update("jax_default_prng_impl", before)
+        assert jax.random.PRNGKey(0).shape == (2,)
