@@ -27,6 +27,38 @@ def save_checkpoint(ckpt_dir: str, state) -> None:
         cp.save(ckpt_dir, state, force=True)
 
 
+def state_is_finite(state) -> bool:
+    """True iff every float leaf of the train state is finite.
+
+    Cheap (one pass over ~150MB at snapshot cadence); guards the meta
+    checkpoint from being poisoned by a diverged run (r4 post-mortem:
+    the NaN allspectra campaign overwrote its good preemption state with
+    NaN params for 4k+ steps before anyone noticed)."""
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(state):
+        arr = np.asarray(leaf)
+        if np.issubdtype(arr.dtype, np.floating) and not np.all(
+            np.isfinite(arr)
+        ):
+            return False
+    return True
+
+
+def save_checkpoint_if_finite(ckpt_dir: str, state) -> bool:
+    """Save unless the state holds non-finite values; returns whether it
+    saved. A non-finite state is never worth persisting — the previous
+    checkpoint is strictly better — so refuse and log loudly."""
+    if not state_is_finite(state):
+        logging.error(
+            "REFUSING to save non-finite train state to %s "
+            "(keeping the previous checkpoint)", ckpt_dir,
+        )
+        return False
+    save_checkpoint(ckpt_dir, state)
+    return True
+
+
 def restore_checkpoint(ckpt_dir: str, state):
     """Restore into the structure of ``state``; returns ``state`` unchanged
     (with a warning) if no checkpoint exists — matching ref utils.py:7-13."""

@@ -28,9 +28,12 @@ def get_config():
     config.training.snapshot_freq = 20
     config.training.snapshot_freq_for_preemption = 10
     config.training.matmul_precision = "float32"
-    # keep the suite on jax's default threefry streams: resolve_runtime_config
-    # applies prng_impl PROCESS-globally, and the TPU-native 'rbg' win is a
-    # production-train concern, not a CPU-test one
+    # '' means "inherit the CURRENT process default" (resolve_runtime_config
+    # leaves jax_default_prng_impl untouched), NOT "force threefry": the
+    # setting is a sticky process-global, so a config resolved earlier in
+    # the same process (e.g. diffspectra_qm9s's 'rbg') carries over. Tests
+    # that depend on a specific impl must set it explicitly or reset the
+    # flag in a fixture (advisor r4).
     config.training.prng_impl = ""
 
     config.optim.warmup = 10

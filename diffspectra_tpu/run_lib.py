@@ -9,6 +9,7 @@ parameters; all RDKit-dependent evaluation stays host-side.
 from __future__ import annotations
 
 import logging
+import math
 import os
 import random
 import time
@@ -270,9 +271,15 @@ def diffspectra_train(config, config_original_qm9, workdir):
         # has no checkpoint of its own — a real resume always wins
         from . import warm_state as warm_lib
 
+        zero_fresh = tuple(
+            p for p in str(
+                config.training.get("warm_start_zero_fresh", "")
+            ).split(",") if p
+        )
         state = warm_lib.load_warm_state(
             state, warm_path,
             partial=bool(config.training.get("warm_start_partial", False)),
+            zero_fresh=zero_fresh,
         )
         initial_step = int(state.step)
     if initial_step == 0:
@@ -455,15 +462,29 @@ def diffspectra_train(config, config_original_qm9, workdir):
             logging.info(
                 "step: %d, training_loss: %.5e, graphs/sec: %.1f", step, loss_val, tput
             )
+            # Non-finite-loss trip (r4 post-mortem: the allspectra campaign
+            # logged `training_loss: nan` for 4k+ steps while checkpointing
+            # the poisoned state over the good one). A diverged model cannot
+            # recover by itself — abort loudly; the last checkpoint on disk
+            # stays finite because the saves below are finiteness-guarded.
+            if not math.isfinite(loss_val):
+                logging.error(
+                    "NON-FINITE training loss %r at step %d — aborting "
+                    "(checkpoints on disk keep the last finite state)",
+                    loss_val, step,
+                )
+                raise FloatingPointError(
+                    f"non-finite training loss at step {step}"
+                )
 
         if step != 0 and step % config.training.snapshot_freq_for_preemption == 0:
-            ckpt_lib.save_checkpoint(meta_dir, jax.device_get(state))
+            ckpt_lib.save_checkpoint_if_finite(meta_dir, jax.device_get(state))
 
         if step != 0 and (
             step % config.training.snapshot_freq == 0 or step == num_train_steps
         ):
             save_step = step // config.training.snapshot_freq
-            ckpt_lib.save_checkpoint(
+            ckpt_lib.save_checkpoint_if_finite(
                 ckpt_lib.numbered_checkpoint_dir(workdir, save_step),
                 jax.device_get(state),
             )

@@ -205,6 +205,13 @@ def pretrain_specformer(config, workdir):
     ``config.model.pretrained_specformer_path``."""
     from ..data import get_batch_iterator, get_dataset, inf_iterator
     from ..data.pipeline import prefetch
+    from ..run_lib import resolve_runtime_config
+
+    # runtime knobs (training.prng_impl, device-count batch scaling) apply
+    # to pretraining too — every entrypoint resolves before creating keys
+    # (advisor r4: the pretrain path previously skipped this, silently
+    # no-opting prng_impl='rbg' in one of the three modes)
+    config = resolve_runtime_config(config, len(jax.devices()))
 
     jax.config.update(
         "jax_default_matmul_precision",

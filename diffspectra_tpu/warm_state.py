@@ -85,7 +85,7 @@ def _decode(npz, prefix: str) -> dict:
     return flat
 
 
-def _merge_partial(tree, flat: dict, what: str):
+def _merge_partial(tree, flat: dict, what: str, zero_fresh=()):
     """Replace the leaves of ``tree`` that exist in ``flat`` with matching
     shapes; keep the fresh initialization for the rest.
 
@@ -93,9 +93,21 @@ def _merge_partial(tree, flat: dict, what: str):
     an IR-only campaign shares the whole DMT trunk but not the SpecFormer
     patch embedders — the same partial-restore semantics as the
     reference's pretrained-SpecFormer load (ref models/dmt.py:268-303,
-    prefix-matched partial state-dict copy)."""
+    prefix-matched partial state-dict copy).
+
+    ``zero_fresh``: substring patterns; any NON-restored (fresh) leaf whose
+    path contains one of them is ZEROED instead of keeping its random init.
+    This is the zero-gate for fresh components that feed a trained trunk:
+    the r4 allspectra campaign left the (shape-mismatched) SpecFormer
+    ``head_linear`` kernel randomly initialized, and its out-of-distribution
+    context embedding drove the restored adaLN trunk to ~3e5-magnitude
+    outputs (loss 6e9 at step 0 -> NaN by step 1.5k; tools/diag_as_fwd.py
+    measured the contrast). Zeroing the fresh boundary kernel makes the
+    context start at the trained distribution's centre (restored bias
+    through the restored LayerNorm) and the warm model's step-0 forward
+    stays in its trained operating range."""
     want = _flatten(tree)
-    hit, skip_shape = 0, 0
+    hit, skip_shape, zeroed = 0, 0, []
     merged = {}
     for path, leaf in want.items():
         arr = np.asarray(leaf)
@@ -105,12 +117,17 @@ def _merge_partial(tree, flat: dict, what: str):
         else:
             if path in flat:
                 skip_shape += 1
-            merged[path] = leaf
+            if any(pat and pat in path for pat in zero_fresh):
+                merged[path] = jnp.zeros_like(leaf)
+                zeroed.append(path)
+            else:
+                merged[path] = leaf
     unused = len(set(flat) - set(want))
     logging.info(
         "partial warm start %s: %d/%d leaves restored "
-        "(%d shape-mismatched kept fresh, %d npz keys unused)",
+        "(%d shape-mismatched kept fresh, %d npz keys unused%s)",
         what, hit, len(want), skip_shape, unused,
+        f", zeroed fresh: {zeroed}" if zeroed else "",
     )
     if hit == 0:
         raise ValueError(
@@ -149,16 +166,23 @@ def _merge(tree, flat: dict, what: str):
     return traverse_util.unflatten_dict(merged, sep="/")
 
 
-def load_warm_state(state, path: str, partial: bool = False):
+def load_warm_state(state, path: str, partial: bool = False, zero_fresh=()):
     """Return ``state`` with params/EMA/batch_stats/step from the npz.
 
     ``state`` must be a freshly created ``TrainState`` for the same model
     config; its (fresh) optimizer state is kept as-is. ``partial=True``
     restores only the intersecting same-shape leaves (cross-spectra warm
     starts, e.g. allspectra model from an IR-only campaign) and keeps the
-    fresh init for the rest — see ``_merge_partial``.
+    fresh init for the rest — see ``_merge_partial``. ``zero_fresh``
+    (partial only): substring patterns naming fresh boundary leaves to zero
+    instead, the zero-gate that keeps a trained trunk in its operating
+    range at step 0 (see ``_merge_partial``).
     """
-    merge = _merge_partial if partial else _merge
+    if partial:
+        def merge(tree, flat, what):
+            return _merge_partial(tree, flat, what, zero_fresh=zero_fresh)
+    else:
+        merge = _merge
     with np.load(path, allow_pickle=False) as npz:
         meta = json.loads(str(npz[_META])) if _META in npz.files else {}
         params = merge(state.params, _decode(npz, "params"), "params")

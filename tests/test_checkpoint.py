@@ -123,3 +123,38 @@ def test_restore_missing_returns_input(tmp_path):
     state = create_train_state(variables, tx, 0.999)
     out = ckpt_lib.restore_checkpoint(str(tmp_path / "nope" / "ckpt"), state)
     assert out is state
+
+
+def test_save_checkpoint_if_finite_refuses_nan_state(tmp_path):
+    """The finiteness guard (r4 allspectra post-mortem: NaN params were
+    checkpointed over the good preemption state for 4k+ steps)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffspectra_tpu import checkpoint as ckpt_lib
+
+    good = {"params": {"w": jnp.ones((3,))}, "step": jnp.asarray(5)}
+    d = str(tmp_path / "meta" / "ckpt")
+    assert ckpt_lib.save_checkpoint_if_finite(d, good)
+    restored = ckpt_lib.restore_checkpoint(d, good)
+    assert int(restored["step"]) == 5
+
+    bad = {
+        "params": {"w": jnp.array([1.0, np.nan, 2.0])},
+        "step": jnp.asarray(6),
+    }
+    assert not ckpt_lib.save_checkpoint_if_finite(d, bad)
+    # the good checkpoint is untouched
+    restored = ckpt_lib.restore_checkpoint(d, good)
+    assert int(restored["step"]) == 5
+    assert np.all(np.isfinite(np.asarray(restored["params"]["w"])))
+
+    inf_state = {
+        "params": {"w": jnp.array([np.inf, 0.0, 0.0])},
+        "step": jnp.asarray(7),
+    }
+    assert not ckpt_lib.state_is_finite(inf_state)
+    # integer leaves never trip the guard
+    assert ckpt_lib.state_is_finite(
+        {"step": jnp.asarray(2**31 - 1), "w": jnp.zeros((2,))}
+    )

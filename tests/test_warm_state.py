@@ -198,3 +198,80 @@ def test_warm_state_partial_restore_nothing_raises(tmp_path):
     _np.savez(p2, **scrambled)
     with pytest.raises(ValueError, match="restored nothing"):
         warm_state.load_warm_state(fresh, p2, partial=True)
+
+
+def test_warm_state_partial_zero_fresh(tmp_path):
+    """zero_fresh patterns zero the matching NON-restored leaves (the
+    boundary zero-gate from the r4 allspectra NaN post-mortem: a fresh
+    SpecFormer head kernel behind a trained trunk must start at zero so the
+    context embedding begins at the trained distribution's centre)."""
+    from flax import traverse_util
+
+    cfg = small_config()
+    state, _, _, _ = _trained_state(cfg, n_steps=1)
+    path = str(tmp_path / "warm.npz")
+    warm_state.export_warm_state(jax.device_get(state), path)
+
+    # cross-spectra target: allspectra model — fresh patch embedders
+    # (W_P_0/W_P_2/W_pos_*) and a shape-mismatched flatten-head kernel
+    cfg2 = small_config()
+    cfg2.data.spectra_version = "allspectra"
+    _, fresh2, step_fn2, batch2 = _trained_state_allspectra(cfg2)
+    restored = warm_state.load_warm_state(
+        fresh2, path, partial=True,
+        zero_fresh=("cond_encoder/head_linear/kernel",),
+    )
+
+    got = traverse_util.flatten_dict(jax.device_get(restored.params), sep="/")
+    want = traverse_util.flatten_dict(jax.device_get(state.params), sep="/")
+    head = got["cond_encoder/head_linear/kernel"]
+    # the head kernel was shape-mismatched (more patches) -> fresh -> zeroed
+    assert head.shape != np.asarray(
+        want["cond_encoder/head_linear/kernel"]
+    ).shape
+    assert np.all(np.asarray(head) == 0.0)
+    # restored leaves are untouched by zero_fresh
+    np.testing.assert_allclose(
+        np.asarray(got["cond_encoder/head_linear/bias"]),
+        np.asarray(want["cond_encoder/head_linear/bias"]), rtol=8e-3,
+    )
+    # non-matching fresh leaves keep their random init (not zeroed)
+    fresh_flat = traverse_util.flatten_dict(
+        jax.device_get(fresh2.params), sep="/"
+    )
+    w_p0 = [p for p in got if "W_P_0/kernel" in p]
+    assert w_p0 and not np.all(np.asarray(got[w_p0[0]]) == 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(got[w_p0[0]]), np.asarray(fresh_flat[w_p0[0]])
+    )
+
+    # the cross-spectra warm start trains with a finite loss from step one
+    s2, loss = step_fn2(restored, batch2, jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss))
+
+
+def _trained_state_allspectra(cfg):
+    """Fresh allspectra-model state + step_fn + batch (tiny shapes)."""
+    from diffspectra_tpu.data.synthetic import SPEC_LENS
+
+    batch = make_batch(jax.random.PRNGKey(0), cfg)
+    bs = batch["atom_mask"].shape[0]
+    batch = dict(batch)
+    batch["context"] = tuple(
+        jnp.abs(jax.random.normal(jax.random.PRNGKey(9 + i), (bs, L)))
+        for i, L in enumerate(
+            [SPEC_LENS["uv"], SPEC_LENS["ir"], SPEC_LENS["raman"]]
+        )
+    )
+    model = DMT.from_config(cfg)
+    sch = NoiseScheduleVP(cfg.sde.schedule)
+    tx = optim_lib.get_optimizer(cfg)
+    n = cfg.data.max_node
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((bs,)), jnp.zeros((bs, n, 9)),
+        batch["atom_mask"][..., None], batch["edge_mask"], batch["context"],
+        edge_x=jnp.zeros((bs, n, n, 2)), noise_level=jnp.zeros((bs,)),
+    )
+    state = create_train_state(variables, tx, cfg.model.ema_decay)
+    step_fn = jax.jit(get_step_fn(sch, model, tx, get_data_scaler(cfg), cfg))
+    return None, state, step_fn, batch

@@ -119,3 +119,81 @@ def test_watchdog_ignores_non_matching_log_lines(tmp_path):
     # never sees progress: killed on COMPILE_GRACE both times, budget spent
     assert proc.returncode == 1
     assert "first progress observed" not in proc.stdout
+
+
+def test_watchdog_nan_trip_kills_without_restart(tmp_path):
+    """A diverged run keeps emitting advancing step lines with a NaN loss —
+    the stall detector never fires (r4 allspectra post-mortem). The NaN trip
+    must kill the child and NOT restart it (rc=3)."""
+    progress = tmp_path / "progress.log"
+    child = tmp_path / "child.sh"
+    child.write_text(
+        "#!/bin/bash\n"
+        "i=0\n"
+        "while true; do\n"
+        f"  echo \"step: $i, training_loss: nan, graphs/sec: 1000.0\" >> {progress}\n"
+        "  i=$((i+500)); sleep 1\n"
+        "done\n"
+    )
+    child.chmod(0o755)
+    env = dict(
+        os.environ,
+        WATCHDOG_POLL_SECS="1",
+        WATCHDOG_STALL_SECS="60",
+        WATCHDOG_COMPILE_GRACE="60",
+        WATCHDOG_MAX_RESTARTS="5",
+        WATCHDOG_TERM_GRACE="2",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "run_with_watchdog.py"),
+            str(progress),
+            str(child),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 3, proc.stdout + proc.stderr
+    assert "NON-FINITE loss" in proc.stdout
+    assert "restart 1/" not in proc.stdout  # never restarted
+
+
+def test_watchdog_nan_trip_on_child_exit(tmp_path):
+    """run_lib aborts itself on a non-finite loss (FloatingPointError); the
+    watchdog must see the nan line written just before the exit and refuse
+    to restart rather than treating it as a crash."""
+    progress = tmp_path / "progress.log"
+    child = tmp_path / "child.sh"
+    child.write_text(
+        "#!/bin/bash\n"
+        f"echo 'step: 500, training_loss: 1.23000e-02, graphs/sec: 99.0' >> {progress}\n"
+        "sleep 1\n"
+        f"echo 'step: 1000, training_loss: nan, graphs/sec: 99.0' >> {progress}\n"
+        "exit 17\n"
+    )
+    child.chmod(0o755)
+    env = dict(
+        os.environ,
+        WATCHDOG_POLL_SECS="1",
+        WATCHDOG_STALL_SECS="30",
+        WATCHDOG_COMPILE_GRACE="30",
+        WATCHDOG_MAX_RESTARTS="5",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "run_with_watchdog.py"),
+            str(progress),
+            str(child),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 3, proc.stdout + proc.stderr
+    assert "NOT restarting" in proc.stdout
+    assert "restart 1/" not in proc.stdout

@@ -42,6 +42,14 @@ COMPILE_GRACE = int(os.environ.get("WATCHDOG_COMPILE_GRACE", 2700))
 MAX_RESTARTS = int(os.environ.get("WATCHDOG_MAX_RESTARTS", 20))
 POLL = int(os.environ.get("WATCHDOG_POLL_SECS", 20))
 PROGRESS_REGEX = os.environ.get("WATCHDOG_PROGRESS_REGEX", r"step: \d+")
+# Non-finite-loss trip (r4 post-mortem): a diverged run keeps "progressing"
+# — step lines advance while the loss is NaN — so the stall watchdog never
+# fires. Match the training loss value itself; on a hit, kill the child and
+# DO NOT restart (a restart would resume into the same divergence). Set to
+# empty to disable.
+NAN_REGEX = os.environ.get(
+    "WATCHDOG_NAN_REGEX", r"training_loss: *(nan|-?inf)"
+)
 
 
 def _mtime(path):
@@ -58,6 +66,8 @@ class _ProgressTracker:
     def __init__(self, path):
         self.path = path
         self.pattern = re.compile(PROGRESS_REGEX) if PROGRESS_REGEX else None
+        self.nan_pattern = re.compile(NAN_REGEX) if NAN_REGEX else None
+        self.nan_tripped = False
         self.offset = self._size()
         self.mtime = _mtime(path)
         self._carry = b""  # trailing partial line of the previous read
@@ -95,7 +105,10 @@ class _ProgressTracker:
         chunk = self._carry + chunk
         nl = chunk.rfind(b"\n")
         self._carry = chunk[nl + 1:] if nl >= 0 else chunk
-        return bool(self.pattern.search(chunk.decode("utf-8", "replace")))
+        text = chunk.decode("utf-8", "replace")
+        if self.nan_pattern is not None and self.nan_pattern.search(text):
+            self.nan_tripped = True
+        return bool(self.pattern.search(text))
 
 
 TERM_GRACE = int(os.environ.get("WATCHDOG_TERM_GRACE", 30))
@@ -153,6 +166,14 @@ def main():
             # the poll window is never mis-flagged as stalled
             rc = child.poll()
             if rc is not None:
+                tracker.advanced()  # drain tail lines written before exit
+                if tracker.nan_tripped:
+                    print(
+                        "watchdog: NON-FINITE loss in log — child exited "
+                        f"rc={rc}; NOT restarting (divergence, not a crash)",
+                        flush=True,
+                    )
+                    return 3
                 if rc == 0:
                     print("watchdog: child finished cleanly", flush=True)
                     return 0
@@ -163,6 +184,14 @@ def main():
                     print("watchdog: first progress observed", flush=True)
                 progressed = True
                 last_progress = time.time()
+            if tracker.nan_tripped:
+                print(
+                    "watchdog: NON-FINITE loss in log — killing pid="
+                    f"{child.pid}; NOT restarting (divergence, not a crash)",
+                    flush=True,
+                )
+                _kill_group(child)
+                return 3
             limit = STALL_SECS if progressed else COMPILE_GRACE
             ref = last_progress if progressed else start
             if time.time() - ref > limit:

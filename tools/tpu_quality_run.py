@@ -46,9 +46,17 @@ def main():
     cfg.training.warm_start = os.environ.get("QUALITY_WARM_START", "")
     if os.environ.get("QUALITY_WARM_PARTIAL", "") == "1":
         # cross-spectra warm start (e.g. allspectra model from the IR-only
-        # campaign state): restore intersecting leaves, fresh encoder
+        # campaign state): restore intersecting leaves, fresh encoder.
+        # The fresh SpecFormer flatten-head kernel is ZEROED so the context
+        # embedding starts at the trained distribution's centre — a random
+        # boundary kernel feeds the trained adaLN trunk out-of-distribution
+        # context and the forward explodes (r4 allspectra NaN post-mortem,
+        # tools/diag_as_fwd.py).
         with cfg.unlocked():
             cfg.training.warm_start_partial = True
+            cfg.training.warm_start_zero_fresh = os.environ.get(
+                "QUALITY_WARM_ZERO_FRESH", "cond_encoder/head_linear/kernel"
+            )
 
     from _overrides import apply_env_overrides
 

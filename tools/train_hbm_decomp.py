@@ -195,27 +195,28 @@ def main():
         st, loss = jstep(st_holder["s"], dev_batch, jax.random.PRNGKey(99))
         st_holder["s"] = st
         float(np.asarray(loss))
-        if "step" not in variants:
-            best = 1.0  # placeholder; only branches requested
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for i in range(steps):
-                st, loss = jstep(st_holder["s"], dev_batch, jax.random.fold_in(rng, i))
-                st_holder["s"] = st
-            float(np.asarray(loss))
-            best = min(best, (time.perf_counter() - t0) / steps)
-        row = {
-            "variant": f"step_{tag}",
-            "ms": round(best * 1e3, 2),
-            "flops": flops,
-            "bytes": nbytes,
-            "gbps": round(nbytes / best / 1e9, 1),
-            "hbm_util": round(nbytes / best / 1e9 / peak_gbps, 4),
-            "graphs_per_sec": round(B / best, 1),
-        }
-        print(json.dumps(row), flush=True)
-        results[f"step_{tag}"] = row
+        if "step" in variants:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for i in range(steps):
+                    st, loss = jstep(
+                        st_holder["s"], dev_batch, jax.random.fold_in(rng, i)
+                    )
+                    st_holder["s"] = st
+                float(np.asarray(loss))
+                best = min(best, (time.perf_counter() - t0) / steps)
+            row = {
+                "variant": f"step_{tag}",
+                "ms": round(best * 1e3, 2),
+                "flops": flops,
+                "bytes": nbytes,
+                "gbps": round(nbytes / best / 1e9, 1),
+                "hbm_util": round(nbytes / best / 1e9 / peak_gbps, 4),
+                "graphs_per_sec": round(B / best, 1),
+            }
+            print(json.dumps(row), flush=True)
+            results[f"step_{tag}"] = row
 
         if sc and "branches" in variants:
             # split the two cond branches: time singleton seeds, cluster
