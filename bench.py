@@ -125,6 +125,7 @@ def main():
     # methodology note). Peak: v5e bf16 = 197 TFLOP/s (BENCH_PEAK_TFLOPS to
     # override on other chips).
     mfu = model_tflops = hbm_gbps = hbm_util = float("nan")
+    hbm_gbps_median = probe_spread_pct = float("nan")
     if SKIP_MFU:
         print(
             json.dumps(
@@ -175,46 +176,42 @@ def main():
 
         # K forwards inside ONE dispatch (lax.scan): the axon tunnel has
         # large per-call latency, so per-call timing measures RTT, not the
-        # device. Two chain lengths -> slope cancels the fixed dispatch +
-        # materialisation overhead. Mirrors the sampler's one-scan structure.
-        def make_chain(reps):
-            def fwd_chain(v, t, xh, node_mask, edge_mask, ctx, edge_x, nl):
-                def body(carry, _):
-                    out = model.apply(
-                        v, t, carry, node_mask, edge_mask, ctx,
-                        edge_x=edge_x, noise_level=nl,
-                    )
-                    # feed the prediction back so no iteration is dead code
-                    return out[0], ()
+        # device. Robustness (VERDICT r4 weak-2: the official BENCH_r04
+        # probe read 60% while a same-day run of the same code read 93% —
+        # a short 250-rep chain with an RTT subtraction swings 35% with
+        # relay stalls): make the chain LONG enough (~8s) that dispatch RTT
+        # and transient relay stalls amortise below the noise floor, drop
+        # the fragile overhead subtraction entirely, and time several
+        # chains, reporting the best (speed-of-light) plus the median and
+        # spread so any relay interference is visible in the artifact
+        # rather than silently poisoning the headline.
+        reps = int(os.environ.get("BENCH_CHAIN_REPS", 1500))
+        n_chains = int(os.environ.get("BENCH_CHAINS", 5))
 
-                final, _ = jax.lax.scan(body, xh, None, length=reps)
-                return final
+        def fwd_chain(v, t, xh, node_mask, edge_mask, ctx, edge_x, nl):
+            def body(carry, _):
+                out = model.apply(
+                    v, t, carry, node_mask, edge_mask, ctx,
+                    edge_x=edge_x, noise_level=nl,
+                )
+                # feed the prediction back so no iteration is dead code
+                return out[0], ()
 
-            return jax.jit(fwd_chain)
+            final, _ = jax.lax.scan(body, xh, None, length=reps)
+            return final
 
-        def timed(jchain):
-            np.asarray(jchain(variables, *fwd_args)).sum()  # warm/compile
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                np.asarray(jchain(variables, *fwd_args)).sum()
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        # one long chain; subtract the fixed dispatch+materialisation RTT
-        # measured with a trivial jitted op (two-chain slope proved noisy on
-        # the tunnel: separately compiled executables can land on different
-        # relay states)
-        reps = 250
-        jtriv = jax.jit(lambda x: x + 1.0)
-        np.asarray(jtriv(jnp.zeros(8))).sum()
-        overhead = float("inf")
-        for _ in range(3):
+        jchain = jax.jit(fwd_chain)
+        np.asarray(jchain(variables, *fwd_args)).sum()  # warm/compile
+        times = []
+        for _ in range(n_chains):
             t0 = time.perf_counter()
-            np.asarray(jtriv(jnp.zeros(8))).sum()
-            overhead = min(overhead, time.perf_counter() - t0)
-        dt_chain = timed(make_chain(reps))
-        per_fwd = max(dt_chain - overhead, 1e-9) / reps
+            np.asarray(jchain(variables, *fwd_args)).sum()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        dt_best, dt_median = times[0], times[len(times) // 2]
+        probe_spread_pct = (times[-1] - times[0]) / times[0] * 100.0
+        per_fwd = dt_best / reps
+        per_fwd_median = dt_median / reps
         model_tflops = flops_per_fwd / per_fwd / 1e12
         mfu = model_tflops * 1e12 / peak
         # HBM roofline: at N=29 the forward is bandwidth-bound, so achieved
@@ -228,6 +225,11 @@ def main():
             else float("nan")
         )
         hbm_util = hbm_gbps / hbm_peak
+        hbm_gbps_median = (
+            bytes_per_fwd / per_fwd_median / 1e9
+            if bytes_per_fwd == bytes_per_fwd
+            else float("nan")
+        )
     except Exception as e:  # cost model unavailable on some backends
         sys.stderr.write(f"MFU accounting skipped: {e}\n")
 
@@ -247,6 +249,16 @@ def main():
                 "hbm_gbps": round(hbm_gbps, 1) if hbm_gbps == hbm_gbps else None,
                 "hbm_util_peak": (
                     round(hbm_util, 4) if hbm_util == hbm_util else None
+                ),
+                "hbm_gbps_median": (
+                    round(hbm_gbps_median, 1)
+                    if hbm_gbps_median == hbm_gbps_median
+                    else None
+                ),
+                "probe_spread_pct": (
+                    round(probe_spread_pct, 1)
+                    if probe_spread_pct == probe_spread_pct
+                    else None
                 ),
             }
         )

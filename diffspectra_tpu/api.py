@@ -130,6 +130,7 @@ class Elucidator:
         self._inverse_scaler = get_data_inverse_scaler(config)
         self._round_cache = {}
         self._vars_on_device = False
+        self._count_head = None  # (head, params) via load_count_head
 
     # ---------------------------------------------------------------- load
 
@@ -320,6 +321,37 @@ class Elucidator:
         self._round_cache[key] = fn
         return fn
 
+    def load_count_head(self, path: str) -> dict:
+        """Attach a trained spectrum-conditioned atom-count head
+        (models/atom_count.py, trained by tools/train_atom_count.py).
+
+        With a head attached, count-free ``elucidate(n_atoms=None)`` samples
+        only the few counts the spectrum itself supports (predicted
+        distribution) instead of sweeping the 16-count histogram prior — the
+        r4 quantification measured the flat sweep at consensus Top-1 8.0%
+        vs 68.0% n-known because wrong-count draws reproduce structures as
+        consistently as right-count ones (tools/nfree_eval.py). Returns the
+        head's training metadata (held-out count accuracy)."""
+        from .models import atom_count as ac
+
+        head, params, meta = ac.load_head(path)
+        self._count_head = (head, jax.device_put(params))
+        return meta
+
+    def _predict_counts(self, context, coverage: float = 0.9, cap: int = 4):
+        """(counts, probs) for one prepared context via the count head."""
+        from .models import atom_count as ac
+
+        head, params = self._count_head
+        ctx = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], context,
+            is_leaf=lambda x: isinstance(x, np.ndarray),
+        )
+        emb = ac.encode_spec_pooled(self.model, self.variables, ctx)
+        probs = np.asarray(ac.predict_count_probs(head, params, emb))[0]
+        (counts, ps), = ac.top_counts(probs[None], coverage=coverage, cap=cap)
+        return counts, dict(zip(counts, ps))
+
     def _plausible_n(self, coverage: float = 0.95, cap: int = 16):
         """Smallest prior-probability-sorted set of atom counts covering
         ``coverage`` of the train histogram (at most ``cap`` values)."""
@@ -446,13 +478,7 @@ class Elucidator:
         """Atom-count-free elucidation: one bucketed batch per plausible n,
         consensus across all draws (see ``elucidate`` docstring)."""
         max_n = int(self.config.data.max_node)
-        ns = self._plausible_n()
-        K = draws_per_n or max(2, num_candidates // max(1, len(ns)))
         context = self._prepare_context(spectra, normalized)
-        if isinstance(context, tuple):
-            ctx = tuple(np.tile(s[None], (K, 1)) for s in context)
-        else:
-            ctx = np.tile(context[None], (K, 1))
         buckets = tuple(
             sorted(self.config.eval.get("bucket_sizes", ()))
         ) or (max_n,)
@@ -460,9 +486,20 @@ class Elucidator:
             self.variables = jax.device_put(self.variables)
             self._vars_on_device = True
 
-        hist = self.dataset_info["train_n_nodes"]
-        total = sum(hist.values()) or 1
-        prior = {int(k): v / total for k, v in hist.items()}
+        if self._count_head is not None:
+            # spectrum-conditioned counts: sample only the few counts the
+            # spectrum supports; tie-break by the predicted probability
+            ns, prior = self._predict_counts(context)
+        else:
+            ns = self._plausible_n()
+            hist = self.dataset_info["train_n_nodes"]
+            total = sum(hist.values()) or 1
+            prior = {int(k): v / total for k, v in hist.items()}
+        K = draws_per_n or max(2, num_candidates // max(1, len(ns)))
+        if isinstance(context, tuple):
+            ctx = tuple(np.tile(s[None], (K, 1)) for s in context)
+        else:
+            ctx = np.tile(context[None], (K, 1))
 
         rng = jax.random.PRNGKey(seed)
         all_mols = []

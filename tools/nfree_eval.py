@@ -218,6 +218,92 @@ def main():
             top_n_match += int(counts[qi][top_cid][1] == true_ns[qi])
     results["n_free"]["top1_count_correct"] = top_n_match / nt
 
+    # ------- protocol C: head-predicted counts (COUNT_HEAD env) ----------
+    head_path = os.environ.get("COUNT_HEAD", "")
+    if head_path:
+        from diffspectra_tpu.models import atom_count as ac
+
+        head, hparams, hmeta = ac.load_head(head_path)
+        hparams = jax.device_put(hparams)
+
+        import jax.numpy as jnp
+
+        @jax.jit
+        def embed(specs):
+            return ac.encode_spec_pooled(el.model, el.variables, specs)
+
+        t0 = time.time()
+        embs = []
+        ebs = 256
+        for i in range(0, nt, ebs):
+            rows = np.stack(
+                [np.log10(s + 1.0) for s in spectra[i:i + ebs]]
+            ).astype(np.float32)
+            embs.append(np.asarray(embed(jnp.asarray(rows))))
+        embs = np.concatenate(embs)
+        probs = np.asarray(ac.predict_count_probs(head, hparams, embs))
+        csets = ac.top_counts(probs, coverage=0.9, cap=3)
+        pred_top1_n = probs.argmax(-1)
+        count_top1 = float((pred_top1_n == np.asarray(true_ns)).mean())
+        count_cover = float(
+            np.mean([t in c for (c, _), t in zip(csets, true_ns)])
+        )
+        n_ranks = max(len(c) for c, _ in csets)
+        k_head = max(2, k_known // max(1, n_ranks))
+        logging.info(
+            "C: head %s (meta %s) | eval-target count top-1 %.4f, "
+            "top_counts cover %.4f, max ranks %d, K/count %d",
+            head_path, hmeta, count_top1, count_cover, n_ranks, k_head,
+        )
+
+        counts_c = [dict() for _ in range(nt)]
+        t0 = time.time()
+        for r in range(n_ranks):
+            ns_r = [
+                c[min(r, len(c) - 1)] for (c, _) in csets
+            ]
+            res_r = el.elucidate_batch(
+                spectra, ns_r, num_candidates=k_head, seed=500 + r,
+                queries_per_round=max(1, rows // k_head),
+            )
+            for qi, res in enumerate(res_r):
+                for c in res.candidates:
+                    cid = cm.canonical_id(c.molgraph, _cache=id_cache)
+                    ent = counts_c[qi].get(cid)
+                    if ent is None:
+                        counts_c[qi][cid] = [c.count, c.molgraph.n_atoms,
+                                             len(counts_c[qi])]
+                    else:
+                        ent[0] += c.count
+        rank_c = []
+        for qi in range(nt):
+            pprob = dict(zip(*csets[qi]))
+            ranked = sorted(
+                counts_c[qi].items(),
+                key=lambda kv: (
+                    -kv[1][0], -pprob.get(kv[1][1], 0.0), kv[1][2]
+                ),
+            )
+            rank_c.append([cid for cid, _ in ranked])
+        wall_c = time.time() - t0
+        results["n_free_head"] = {
+            **score(rank_c),
+            "draws_per_query": k_head * n_ranks,
+            "wall_s": wall_c, "ms_per_query": 1000.0 * wall_c / nt,
+            "count_top1": count_top1, "count_cover90": count_cover,
+            "head": head_path, "head_meta": hmeta,
+        }
+        top_n_match = 0
+        for qi in range(nt):
+            if rank_c[qi]:
+                top_cid = rank_c[qi][0]
+                top_n_match += int(counts_c[qi][top_cid][1] == true_ns[qi])
+        results["n_free_head"]["top1_count_correct"] = top_n_match / nt
+        logging.info(
+            "C (n-free head, <=%d counts x K=%d): %s wall %.1fs", n_ranks,
+            k_head, results["n_free_head"]["aggregate"], wall_c,
+        )
+
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
