@@ -24,11 +24,12 @@ run() {
     | tee "$LOGD/mfu_$tag.json"
 }
 
+# Trimmed to the three highest-information probes: every fresh compile
+# costs 2-10 min of the remote helper, and the chip window between the
+# allspectra campaign and the f4 continuation is the f4 crossing's
+# training time (VERDICT next-2 outranks next-5).
 run baseline_rbg ""
 run dots "model.remat_policy='dots'"
-run unroll2 "model.scan_unroll=2"
-run unroll4 "model.scan_unroll=4"
-run dots_unroll2 "model.remat_policy='dots',model.scan_unroll=2"
 # no-remat at reduced batch: measures the pure (no-recompute) backward's
 # bandwidth so the remat overhead is separable from the VJP traffic itself
 MFU_BATCH=48 TRAIN_OVERRIDES="model.remat_policy='none'" MFU_STEPS=30 \
