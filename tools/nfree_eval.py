@@ -155,68 +155,74 @@ def main():
                "unseen_targets": int(t_unseen.sum()), "method": method,
                "steps": steps, "plausible_counts": ns}
 
+    # SKIP_AB=1: jump straight to the head protocol (C) — A/B re-runs cost
+    # ~12 min of chip and their numbers are deterministic under fixed seeds
+    skip_ab = os.environ.get("SKIP_AB", "") == "1"
+
     # ---------------- protocol A: true atom count ------------------------
-    t0 = time.time()
-    res_a = el.elucidate_batch(
-        spectra, true_ns, num_candidates=k_known, seed=11,
-        queries_per_round=qpr_a,
-    )
-    rank_a = [
-        [cm.canonical_id(c.molgraph, _cache=id_cache) for c in r.candidates]
-        for r in res_a
-    ]
-    wall_a = time.time() - t0
-    results["n_known"] = {
-        **score(rank_a), "draws_per_query": k_known, "wall_s": wall_a,
-        "ms_per_query": 1000.0 * wall_a / nt,
-    }
-    logging.info("A (n-known, K=%d): %s wall %.1fs", k_known,
-                 results["n_known"]["aggregate"], wall_a)
+    if not skip_ab:
+        t0 = time.time()
+        res_a = el.elucidate_batch(
+            spectra, true_ns, num_candidates=k_known, seed=11,
+            queries_per_round=qpr_a,
+        )
+        rank_a = [
+            [cm.canonical_id(c.molgraph, _cache=id_cache) for c in r.candidates]
+            for r in res_a
+        ]
+        wall_a = time.time() - t0
+        results["n_known"] = {
+            **score(rank_a), "draws_per_query": k_known, "wall_s": wall_a,
+            "ms_per_query": 1000.0 * wall_a / nt,
+        }
+        logging.info("A (n-known, K=%d): %s wall %.1fs", k_known,
+                     results["n_known"]["aggregate"], wall_a)
 
     # ---------------- protocol B: count marginalized ---------------------
     hist = el.dataset_info["train_n_nodes"]
     total = sum(hist.values()) or 1
     prior = {int(k): v / total for k, v in hist.items()}
 
-    t0 = time.time()
-    counts = [dict() for _ in range(nt)]  # qi -> {cid: [count, n, order]}
-    for n in ns:
-        res_n = el.elucidate_batch(
-            spectra, [n] * nt, num_candidates=k_per_n, seed=100 + n,
-            queries_per_round=qpr_b,
-        )
-        for qi, r in enumerate(res_n):
-            for c in r.candidates:
-                cid = cm.canonical_id(c.molgraph, _cache=id_cache)
-                ent = counts[qi].get(cid)
-                if ent is None:
-                    counts[qi][cid] = [c.count, c.molgraph.n_atoms,
-                                       len(counts[qi])]
-                else:
-                    ent[0] += c.count
-    rank_b = []
-    for qi in range(nt):
-        ranked = sorted(
-            counts[qi].items(),
-            key=lambda kv: (-kv[1][0], -prior.get(kv[1][1], 0.0), kv[1][2]),
-        )
-        rank_b.append([cid for cid, _ in ranked])
-    wall_b = time.time() - t0
-    results["n_free"] = {
-        **score(rank_b), "draws_per_query": k_per_n * len(ns),
-        "wall_s": wall_b, "ms_per_query": 1000.0 * wall_b / nt,
-    }
-    logging.info("B (n-free, %d counts x K=%d): %s wall %.1fs", len(ns),
-                 k_per_n, results["n_free"]["aggregate"], wall_b)
+    if not skip_ab:
+        t0 = time.time()
+        counts = [dict() for _ in range(nt)]  # qi -> {cid: [count, n, order]}
+        for n in ns:
+            res_n = el.elucidate_batch(
+                spectra, [n] * nt, num_candidates=k_per_n, seed=100 + n,
+                queries_per_round=qpr_b,
+            )
+            for qi, r in enumerate(res_n):
+                for c in r.candidates:
+                    cid = cm.canonical_id(c.molgraph, _cache=id_cache)
+                    ent = counts[qi].get(cid)
+                    if ent is None:
+                        counts[qi][cid] = [c.count, c.molgraph.n_atoms,
+                                           len(counts[qi])]
+                    else:
+                        ent[0] += c.count
+        rank_b = []
+        for qi in range(nt):
+            ranked = sorted(
+                counts[qi].items(),
+                key=lambda kv: (-kv[1][0], -prior.get(kv[1][1], 0.0), kv[1][2]),
+            )
+            rank_b.append([cid for cid, _ in ranked])
+        wall_b = time.time() - t0
+        results["n_free"] = {
+            **score(rank_b), "draws_per_query": k_per_n * len(ns),
+            "wall_s": wall_b, "ms_per_query": 1000.0 * wall_b / nt,
+        }
+        logging.info("B (n-free, %d counts x K=%d): %s wall %.1fs", len(ns),
+                     k_per_n, results["n_free"]["aggregate"], wall_b)
 
-    # correct-count identification rate in n-free mode: how often the
-    # top-ranked candidate's atom count equals the true count
-    top_n_match = 0
-    for qi in range(nt):
-        if rank_b[qi]:
-            top_cid = rank_b[qi][0]
-            top_n_match += int(counts[qi][top_cid][1] == true_ns[qi])
-    results["n_free"]["top1_count_correct"] = top_n_match / nt
+        # correct-count identification rate in n-free mode: how often the
+        # top-ranked candidate's atom count equals the true count
+        top_n_match = 0
+        for qi in range(nt):
+            if rank_b[qi]:
+                top_cid = rank_b[qi][0]
+                top_n_match += int(counts[qi][top_cid][1] == true_ns[qi])
+        results["n_free"]["top1_count_correct"] = top_n_match / nt
 
     # ------- protocol C: head-predicted counts (COUNT_HEAD env) ----------
     head_path = os.environ.get("COUNT_HEAD", "")
@@ -236,10 +242,10 @@ def main():
         embs = []
         ebs = 256
         for i in range(0, nt, ebs):
-            rows = np.stack(
+            spec_rows = np.stack(
                 [np.log10(s + 1.0) for s in spectra[i:i + ebs]]
             ).astype(np.float32)
-            embs.append(np.asarray(embed(jnp.asarray(rows))))
+            embs.append(np.asarray(embed(jnp.asarray(spec_rows))))
         embs = np.concatenate(embs)
         probs = np.asarray(ac.predict_count_probs(head, hparams, embs))
         csets = ac.top_counts(probs, coverage=0.9, cap=3)
